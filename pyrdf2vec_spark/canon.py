@@ -1,0 +1,235 @@
+"""Entity canonicalization: MinHash-LSH blocking + iterative
+connected-components merge (north rule; no reference analogue — the
+reference assumes pre-canonical URIs).
+
+Pipeline: surface forms → char-ngram shingles → MinHash band signatures
+(deterministic salted-md5 min-hashing, engine-independent) → candidate
+pairs via band-bucket self-join → verified by exact Jaccard → union-find
+via alternating large-star/small-star DataFrame self-joins (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14 — the standard
+shuffle-bounded CC algorithm) → canonical id = min member of each cluster.
+
+Scale notes: banding keeps the candidate join linear in data size (no
+all-pairs); the star operations are self-joins on salted-skew-safe keys
+(AQE skew handling on); each CC iteration halves tree heights, so
+iterations = O(log n) with an early-exit convergence check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _shingle_col(col: str, n: int):
+    """Normalized char n-gram shingle set — Catalyst-only (sequence +
+    transform + substring), no UDF."""
+    norm = (
+        f"concat(' ', trim(regexp_replace(lower(regexp_replace({col}, "
+        f"'[^A-Za-z0-9]+', ' ')), '\\\\s+', ' ')), ' ')"
+    )
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(1, length({norm}) - {n - 1})), "
+        f"i -> substring({norm}, i, {n})))"
+    )
+
+
+def minhash_bands(
+    surfaces: DataFrame,
+    col: str = "name",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """(name, band_idx, band_sig): per band, the concatenation of
+    band_size min-hashes, where min-hash h_k(S) = min over shingles of
+    md5(k ‖ shingle). Lexicographic min of salted md5 hex = a valid
+    permutation min-hash; identical in any engine with md5."""
+    sh = surfaces.select(F.col(col).alias("name")).distinct().withColumn(
+        "shingles", _shingle_col("name", n)
+    )
+    minhashes = sh.select(
+        "name",
+        F.array(
+            *[
+                F.array_min(
+                    F.expr(f"transform(shingles, s -> md5(concat('{k}|', s)))")
+                ).alias(f"h{k}")
+                for k in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    n_bands = num_hashes // band_size
+    bands = minhashes.select(
+        "name",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        *[F.col("sig")[b * band_size + j] for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    return bands
+
+
+def candidate_pairs(
+    surfaces: DataFrame,
+    col: str = "name",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH-blocked candidate pairs verified by exact shingle Jaccard.
+
+    Buckets larger than ``max_bucket`` are dropped (stop-surface guard —
+    the skew/garbage-collision safety valve at scale; dropped mass is a
+    recall tradeoff logged by the caller)."""
+    bands = minhash_bands(surfaces, col, n, num_hashes, band_size)
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    left = sized.select("band_idx", "band_sig", F.col("name").alias("a"))
+    right = sized.select("band_idx", "band_sig", F.col("name").alias("b"))
+    pairs = (
+        left.join(right, ["band_idx", "band_sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = surfaces.select(F.col(col).alias("name")).distinct().withColumn(
+        "shingles", _shingle_col("name", n)
+    )
+    verified = (
+        pairs.join(sh.withColumnRenamed("name", "a").withColumnRenamed("shingles", "sa"), "a")
+        .join(sh.withColumnRenamed("name", "b").withColumnRenamed("shingles", "sb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    edges(a, b) undirected → (name, component) with component = min
+    member. Converges in O(log n) alternations; every step is a
+    groupBy(min)+self-join — shuffle-bounded, no driver-side graph."""
+    nodes = (
+        edges.select(F.col("a").alias("name"))
+        .union(edges.select(F.col("b").alias("name")))
+        .distinct()
+        .persist()
+    )
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iterations):
+        # large-star (Alg. 2): for each u, m = min(Γ(u) ∪ {u});
+        # emit (v, m) for every strictly larger neighbor v of u.
+        n = _sym(e)
+        mins = n.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e1 = (
+            n.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star (Alg. 3): S = smaller-or-equal neighbors of u;
+        # m = min(S ∪ {u}); emit (v, m) for v ∈ S ∪ {u} \ {m}.
+        n1 = _sym(e1).where(F.col("v") < F.col("u"))
+        mins1 = n1.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            n1.join(mins1, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins1.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_e.join(e, ["u", "v"], "left_anti")
+            .union(e.join(new_e, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # converged: e is a star forest (u → component root)
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    out = nodes.join(
+        comp.withColumnRenamed("u", "name"), "name", "left"
+    ).select("name", F.coalesce("component", F.col("name")).alias("component"))
+    nodes.unpersist()
+    return out
+
+
+def canonical_mapping(
+    surfaces: DataFrame,
+    col: str = "name",
+    # true surface variants normalize to (near-)identical strings, so the
+    # verified-Jaccard bar is strict by default — 0.5 would merge
+    # distinct entities that share a long common stem (person 17 / 18)
+    jaccard_threshold: float = 0.9,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """surface form → canonical id (min member of its similarity
+    cluster). Singletons map to themselves."""
+    pairs = candidate_pairs(
+        surfaces, col, n, num_hashes, band_size, jaccard_threshold
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    all_names = surfaces.select(F.col(col).alias("name")).distinct()
+    return all_names.join(comp, "name", "left").select(
+        "name", F.coalesce("component", "name").alias("canonical")
+    )
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Apply a canonical mapping to subj/obj of a triples table
+    (two broadcast-able joins; preds left untouched)."""
+    m = mapping
+    return (
+        triples.join(
+            m.withColumnRenamed("name", "subj").withColumnRenamed(
+                "canonical", "subj_c"
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            m.withColumnRenamed("name", "obj").withColumnRenamed(
+                "canonical", "obj_c"
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+        )
+    )

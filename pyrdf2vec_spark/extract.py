@@ -1,0 +1,106 @@
+"""Triple extraction from transcripts: batched mention detection +
+entity-link scoring as vectorized pandas/Arrow UDFs over conv_id-partitioned
+batches (north star; no per-row Python outside Arrow batches).
+
+The reference consumes ready-made triples (KG.add_walk,
+pyrdf2vec/graphs/kg.py:196-216); this stage PRODUCES them from raw
+conversation text, emitting the same (subj, pred, obj) unit plus
+provenance (conv_id, turn_idx) and a link score.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pyrdf2vec_spark.schema import MENTION_TRIPLE_SCHEMA
+
+# mention patterns: relation phrase → predicate. Surface forms are
+# word-ish tokens possibly containing spaces/underscores/hyphens.
+_ENT = r"([A-Za-z]+[ _-]\d+)"
+PATTERNS = (
+    (re.compile(_ENT + r" works at " + _ENT), "works_at"),
+    (re.compile(_ENT + r" lives in " + _ENT), "lives_in"),
+    (re.compile(r"that " + _ENT + r" knows " + _ENT), "knows"),
+    (re.compile(_ENT + r" is based in " + _ENT), "based_in"),
+)
+
+_NORM = re.compile(r"[^a-z0-9]+")
+_KEY = re.compile(r"^([a-z]+)[ _-]?(\d+)$")
+
+
+def link_surface(surface: str) -> tuple[str, float]:
+    """Entity linking: normalize a mention surface form to its canonical
+    id. Synthetic vocabulary is closed, so normalization IS the linker;
+    score models link confidence (1.0 exact-after-normalization, else a
+    length-ratio fallback < 1)."""
+    s = surface.strip().lower()
+    m = _KEY.match(s)
+    if m:
+        return f"{m.group(1)}_{int(m.group(2))}", 1.0
+    norm = _NORM.sub("_", s).strip("_")
+    return norm, min(1.0, len(norm) / max(1, len(s)))
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for conv_id, turn_idx, text in zip(
+        pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(), pdf["text"].to_numpy()
+    ):
+        for pat, pred in PATTERNS:
+            for m in pat.finditer(text):
+                subj, s_score = link_surface(m.group(1))
+                obj, o_score = link_surface(m.group(2))
+                rows.append(
+                    (conv_id, int(turn_idx), subj, pred, obj,
+                     float(min(s_score, o_score)))
+                )
+    return pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "subj", "pred", "obj", "score"],
+    )
+
+
+def extract_triples(
+    transcripts: DataFrame, min_score: float = 0.5
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) →
+    (conv_id, turn_idx, subj, pred, obj, score).
+
+    mapInPandas over the scan partitions — extraction is embarrassingly
+    parallel per turn; no shuffle. The scan is column-pruned to the three
+    needed columns (Catalyst pushes the projection into the source)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _extract_batch(pdf)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    cols = transcripts.select("conv_id", "turn_idx", "text")
+    res = cols.mapInPandas(run, schema=MENTION_TRIPLE_SCHEMA)
+    return res.where(F.col("score") >= min_score)
+
+
+def triples_only(extracted: DataFrame) -> DataFrame:
+    """Strip provenance → distinct graph triples ready for SparkKG."""
+    return extracted.select("subj", "pred", "obj").dropDuplicates()
+
+
+def precision_recall(
+    extracted: DataFrame, truth: DataFrame
+) -> tuple[float, float]:
+    """Triple-extraction P/R vs planted ground truth, keyed on the full
+    (conv_id, turn_idx, subj, pred, obj) row (BASELINE.md metric)."""
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    e = extracted.select(keys).dropDuplicates()
+    t = truth.select(keys).dropDuplicates()
+    n_e = e.count()
+    n_t = t.count()
+    hit = e.join(t, keys, "inner").count()
+    precision = hit / n_e if n_e else 1.0
+    recall = hit / n_t if n_t else 1.0
+    return precision, recall

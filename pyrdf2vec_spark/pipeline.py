@@ -1,0 +1,207 @@
+"""End-to-end orchestration with checkpoint-resumable stage manifests.
+
+Facade parity: RDF2VecTransformer (pyrdf2vec/rdf2vec.py:88-236) —
+fit / transform / fit_transform over (kg, entities). North-rule additions:
+each stage writes its output as a partitioned parquet table (Iceberg when a
+catalog is configured) plus a manifest row (stage, input fingerprint, row
+count, partitions, metrics); a rerun skips stages whose manifest matches —
+that IS the checkpoint-resume contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyrdf2vec_spark.canon import canonical_mapping, canonicalize_triples
+from pyrdf2vec_spark.embed import SparkWord2Vec
+from pyrdf2vec_spark.extract import extract_triples, triples_only
+from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.walks import canonicalize_walks, extract_walks, wl_walks
+
+
+class StageManifest:
+    """Append-only JSON-lines manifest. One row per completed stage run:
+    per-partition lineage comes from Spark's own parquet metadata; the
+    manifest records the logical lineage (stage → fingerprint → path)."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self.path = os.path.join(base_dir, "manifest.jsonl")
+
+    def lookup(self, stage: str, fingerprint: str) -> dict | None:
+        if not os.path.exists(self.path):
+            return None
+        found = None
+        with open(self.path) as f:
+            for line in f:
+                row = json.loads(line)
+                if (
+                    row["stage"] == stage
+                    and row["input_fingerprint"] == fingerprint
+                    and row["status"] == "ok"
+                ):
+                    found = row
+        return found
+
+    def record(self, stage: str, fingerprint: str, output_path: str,
+               row_count: int, num_partitions: int, metrics: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps({
+                "stage": stage,
+                "input_fingerprint": fingerprint,
+                "output_path": output_path,
+                "row_count": row_count,
+                "num_partitions": num_partitions,
+                "metrics_json": json.dumps(metrics),
+                "status": "ok",
+            }) + "\n")
+
+
+class RDF2VecPipeline:
+    """transcripts → triples → canonicalize → graph → walks → Word2Vec.
+
+    Args mirror the reference transformer's knobs (walker list collapses
+    to strategy + params; embedder is MLlib Word2Vec).
+    """
+
+    def __init__(
+        self,
+        max_depth: int = 2,
+        max_walks: int | None = None,
+        walker: str = "random",  # random | wl
+        sampler: str = "uniform",
+        with_reverse: bool = False,
+        wl_iterations: int = 4,
+        vector_size: int = 64,
+        seed: int = 42,
+        md5_bytes: int | None = 8,
+        checkpoint_dir: str | None = None,
+        canonicalize: bool = True,
+    ):
+        self.max_depth = max_depth
+        self.max_walks = max_walks
+        self.walker = walker
+        self.sampler = sampler
+        self.with_reverse = with_reverse
+        self.wl_iterations = wl_iterations
+        self.vector_size = vector_size
+        self.seed = seed
+        self.md5_bytes = md5_bytes
+        self.canonicalize = canonicalize
+        self.manifest = StageManifest(checkpoint_dir) if checkpoint_dir else None
+        self.embedder = SparkWord2Vec(vector_size=vector_size, seed=seed)
+        self.walks_: DataFrame | None = None
+        self.kg_: SparkKG | None = None
+        self.timings_: dict[str, float] = {}
+
+    # -- stage helper -------------------------------------------------
+    def _stage(self, spark: SparkSession, name: str, fingerprint: str,
+               build, schema_hint: str | None = None) -> DataFrame:
+        t0 = time.perf_counter()
+        if self.manifest:
+            hit = self.manifest.lookup(name, fingerprint)
+            if hit and os.path.exists(hit["output_path"]):
+                self.timings_[name] = 0.0
+                return spark.read.parquet(hit["output_path"])
+        df = build()
+        if self.manifest:
+            out = os.path.join(self.manifest.base_dir, name)
+            df.write.mode("overwrite").parquet(out)
+            df = spark.read.parquet(out)
+            n = df.count()
+            self.manifest.record(
+                name, fingerprint, out, n, df.rdd.getNumPartitions(),
+                {"sec": time.perf_counter() - t0},
+            )
+        self.timings_[name] = time.perf_counter() - t0
+        return df
+
+    # -- stages --------------------------------------------------------
+    def build_graph(self, transcripts: DataFrame) -> SparkKG:
+        spark = transcripts.sparkSession
+        fp = f"transcripts:{self.seed}"
+        mentions = self._stage(
+            spark, "extract", fp, lambda: extract_triples(transcripts)
+        )
+        triples = triples_only(mentions)
+        if self.canonicalize:
+            surfaces = (
+                triples.select(F.col("subj").alias("name"))
+                .union(triples.select(F.col("obj").alias("name")))
+                .distinct()
+            )
+            mapping = self._stage(
+                spark, "canon", fp, lambda: canonical_mapping(surfaces)
+            )
+            triples = canonicalize_triples(triples, mapping)
+        triples = self._stage(spark, "triples", fp, lambda: triples.dropDuplicates())
+        self.kg_ = SparkKG(triples)
+        return self.kg_
+
+    def get_walks(self, kg: SparkKG, entities: DataFrame) -> DataFrame:
+        missing = kg.missing_entities(entities)
+        if not missing.isEmpty():
+            sample = [r[0] for r in missing.limit(5).collect()]
+            raise ValueError(
+                f"The provided entities must exist in the KG; missing: {sample}"
+            )
+        spark = entities.sparkSession
+        fp = (
+            f"{self.walker}:{self.max_depth}:{self.max_walks}:{self.sampler}:"
+            f"{self.with_reverse}:{self.seed}:{self.md5_bytes}"
+        )
+
+        def build():
+            if self.walker == "wl":
+                return wl_walks(
+                    kg, entities, self.max_depth, self.max_walks,
+                    self.wl_iterations, self.md5_bytes,
+                    self.with_reverse, self.sampler, self.seed,
+                )
+            raw = extract_walks(
+                kg, entities, self.max_depth, self.max_walks,
+                with_reverse=self.with_reverse, sampler=self.sampler,
+                seed=self.seed,
+            )
+            ents = [r[0] for r in entities.select(entities.columns[0]).collect()]
+            return canonicalize_walks(raw, ents, self.md5_bytes)
+
+        self.walks_ = self._stage(spark, "walks", fp, build)
+        return self.walks_
+
+    # -- reference-shaped API (rdf2vec.py:88-236) ----------------------
+    def fit(self, kg: SparkKG, entities: DataFrame) -> "RDF2VecPipeline":
+        walks = self.get_walks(kg, entities)
+        t0 = time.perf_counter()
+        self.embedder.fit(walks)
+        self.timings_["word2vec"] = time.perf_counter() - t0
+        return self
+
+    def transform(self, kg: SparkKG, entities: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(embeddings, literals) — rdf2vec.py:201-236."""
+        emb = self.embedder.transform(entities)
+        lits = kg.get_literals(entities)
+        return emb, lits
+
+    def fit_transform(
+        self, kg: SparkKG, entities: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        self.fit(kg, entities)
+        return self.transform(kg, entities)
+
+    # -- full end-to-end from raw transcripts --------------------------
+    def run(
+        self, transcripts: DataFrame, entities: DataFrame | None = None
+    ) -> DataFrame:
+        """transcripts → embeddings for every entity in the graph (or the
+        provided subset). Returns the embeddings DataFrame."""
+        kg = self.build_graph(transcripts)
+        if entities is None:
+            entities = kg.entity_names()
+        self.fit(kg, entities)
+        return self.embedder.transform(entities)

@@ -1,0 +1,202 @@
+"""Sampler weight tables as DataFrame aggregations.
+
+Each reference sampler's ``fit(kg)`` (pyrdf2vec/samplers/*) is a global
+aggregation over the graph; ``get_weight(hop)`` a lookup; ``get_weights``
+normalizes per candidate-hop set (sampler.py:111-136: optional inverse
+``max - (w - min)``, optional split ``w / distinct-in-degree(obj)``, then
+divide by sum). Here: one agg producing a weight table, one join to attach
+weights to candidate hops, and window functions for the per-hop-set
+normalization — no per-vertex Python.
+
+Weight semantics under the reference's per-occurrence predicate identity
+(SURVEY.md §1.3): counts are over DISTINCT triples, which is exactly the
+deduplicated edge table of :class:`~pyrdf2vec_spark.graph.SparkKG`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pyrdf2vec_spark.graph import SparkKG
+
+SAMPLERS = (
+    "uniform",
+    "objfreq",
+    "predfreq",
+    "objpredfreq",
+    "pagerank",
+    "wide",
+)
+
+
+def edge_weights(kg: SparkKG, sampler: str = "uniform", alpha: float = 0.85) -> DataFrame:
+    """Edge table with a raw (un-normalized) ``weight`` column per sampler.
+
+    uniform     — 1.0 (uniform.py:49-69)
+    objfreq     — distinct in-degree of the object (frequency.py:46-59)
+    predfreq    — occurrences of the predicate name (frequency.py:116-130)
+    objpredfreq — occurrences of the (pred, obj) pair (frequency.py:188-205)
+    pagerank    — PageRank of the object over the entity graph
+                  (pagerank.py:52-90, networkx-equivalent semantics)
+    wide        — (nb(pred)+nb(obj)) * ((deg(pred)+deg(obj))/2)
+                  (wide.py:50-96); under per-occurrence identity nb(pred)=1
+                  and deg(obj)=1, nb(obj)=child-degree, deg(pred)=pred count
+    """
+    e = kg.edges
+    if sampler == "uniform":
+        return e.withColumn("weight", F.lit(1.0))
+    if sampler == "objfreq":
+        w = e.groupBy("dst").agg(F.count("*").alias("weight"))
+        return e.join(w, "dst").select("src", "pred", "dst", F.col("weight").cast("double"))
+    if sampler == "predfreq":
+        w = e.groupBy("pred").agg(F.count("*").alias("weight"))
+        return e.join(w, "pred").select("src", "pred", "dst", F.col("weight").cast("double"))
+    if sampler == "objpredfreq":
+        w = e.groupBy("pred", "dst").agg(F.count("*").alias("weight"))
+        return e.join(w, ["pred", "dst"]).select(
+            "src", "pred", "dst", F.col("weight").cast("double")
+        )
+    if sampler == "pagerank":
+        pr = pagerank(kg, alpha=alpha)
+        return e.join(pr, e["dst"] == pr["name"]).select(
+            "src", "pred", "dst", F.col("rank").alias("weight")
+        )
+    if sampler == "wide":
+        # neighbor count of an entity = distinct child edges (out-degree);
+        # for predicate names it is constant 1 (one subject per occurrence).
+        out_deg = e.groupBy("src").agg(F.count("*").alias("nc"))
+        pred_cnt = e.groupBy("pred").agg(F.count("*").alias("pd"))
+        w = (
+            e.join(out_deg.withColumnRenamed("src", "dst"), "dst", "left")
+            .join(pred_cnt, "pred")
+            .select(
+                "src",
+                "pred",
+                "dst",
+                (
+                    (F.lit(1.0) + F.coalesce(F.col("nc"), F.lit(0.0)))
+                    * ((F.col("pd") + F.lit(1.0)) / F.lit(2.0))
+                ).alias("weight"),
+            )
+        )
+        return w
+    raise ValueError(f"unknown sampler {sampler!r}; one of {SAMPLERS}")
+
+
+def split_degrees(kg: SparkKG) -> DataFrame:
+    """Distinct in-degree per entity vertex — the ``split`` normalization
+    table (sampler.py:86-91). Columns (name, deg)."""
+    e = kg.edges
+    indeg = e.groupBy("dst").agg(F.count("*").alias("deg"))
+    return (
+        kg.entity_names()
+        .join(indeg.withColumnRenamed("dst", "name"), "name", "left")
+        .select("name", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+
+
+def normalize_hop_weights(
+    hops: DataFrame,
+    group_cols: list[str],
+    kg: SparkKG | None = None,
+    inverse: bool = False,
+    split: bool = False,
+    weight_col: str = "weight",
+    obj_col: str = "dst",
+) -> DataFrame:
+    """Per-candidate-set normalization of sampler.py:111-136 ``get_weights``.
+
+    ``hops`` carries one row per candidate hop with a raw weight;
+    ``group_cols`` identify the candidate set (e.g. the walk being
+    extended). Applies, in reference order: inverse → split → sum-norm.
+    Hops whose object has split-degree 0 are dropped under ``split``
+    (sampler.py:132 guard).
+    """
+    win = Window.partitionBy(*group_cols)
+    w = F.col(weight_col).cast("double")
+    if inverse:
+        w = F.max(w).over(win) - (w - F.min(w).over(win))
+    df = hops.withColumn("_w", w)
+    if split:
+        if kg is None:
+            raise ValueError("split=True requires kg")
+        degs = split_degrees(kg).withColumnRenamed("name", obj_col)
+        df = (
+            df.join(degs, obj_col, "left")
+            .where(F.coalesce(F.col("deg"), F.lit(0)) != 0)
+            .withColumn("_w", F.col("_w") / F.col("deg"))
+            .drop("deg")
+        )
+    total = F.sum("_w").over(Window.partitionBy(*group_cols))
+    return df.withColumn(
+        "norm_weight", F.when(total != 0, F.col("_w") / total)
+    ).drop("_w")
+
+
+def pagerank(
+    kg: SparkKG,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+) -> DataFrame:
+    """DataFrame PageRank matching networkx semantics (pagerank.py:52-67
+    builds a nx.DiGraph over entity vertices — parallel predicate edges
+    collapse to one link, uniform teleport, dangling mass redistributed
+    uniformly, L1 convergence err < N*tol).
+
+    Iterative join/agg loop; ranks are re-persisted per iteration and the
+    two scalars (dangling mass, L1 error) are the only driver collects.
+    Returns (name, rank).
+    """
+    links = kg.edges.select("src", "dst").distinct().persist()
+    nodes = kg.entity_names().persist()
+    n = nodes.count()
+    if n == 0:
+        links.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    base = (1.0 - alpha) / n
+    for _ in range(max_iter):
+        contrib = (
+            links.join(out_deg, "src")
+            .join(ranks.withColumnRenamed("name", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "name"), "name", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        # eager localCheckpoint: truncates lineage each iteration — without it
+        # the logical plan doubles per loop and the driver OOMs ~50 iters in
+        new_ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "name"), "name", "left")
+            .select(
+                "name",
+                (
+                    F.lit(base)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        err = (
+            new_ranks.join(
+                ranks.withColumnRenamed("rank", "old_rank"), "name"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))))
+            .first()[0]
+        )
+        if hasattr(ranks, "unpersist"):
+            ranks.unpersist()
+        ranks = new_ranks
+        if err is not None and err < n * tol:
+            break
+    links.unpersist()
+    out_deg.unpersist()
+    nodes.unpersist()
+    return ranks

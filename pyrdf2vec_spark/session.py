@@ -1,0 +1,86 @@
+"""SparkSession factory with the scale-oriented defaults this engine assumes.
+
+AQE (runtime re-planning + skew-join splitting) and Arrow (vectorized
+pandas-UDF transfer) are required by the engine's design; shuffle
+partitioning defaults are sized for local[32] test runs and meant to be
+overridden (to e.g. 2000+) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pyrdf2vec_spark importable on executor Python workers
+    regardless of the driver's cwd — the programmatic equivalent of
+    ``spark-submit --py-files pyrdf2vec_spark.zip`` (north rule). A zip
+    of the package is registered once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pyrdf2vec_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="pyrdf2vec_spark_ship_")
+    zip_base = os.path.join(staging, "pyrdf2vec_spark")
+    archive = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(archive)
+    sc._pyrdf2vec_shipped = True
+
+
+def get_spark(
+    app_name: str = "pyrdf2vec-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    Args:
+        app_name: Spark application name.
+        master: master URL; defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+            ``local[*]``). On a cluster, leave None and let spark-submit
+            set it.
+        shuffle_partitions: override for spark.sql.shuffle.partitions.
+            Default: number of local cores (AQE coalesces down at runtime;
+            on a cluster set ~2-3x total executor cores).
+        extra_conf: additional config key/values.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting (hub entities in the adjacency self-join are skewed),
+        # and join-strategy re-planning from runtime statistics.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas-UDF exchange (mention detection, md5
+        # canonicalization, tokenizers) — never row-at-a-time Python.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Walk tables carry long array<string> columns; compress shuffles.
+        .config("spark.shuffle.compress", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark

@@ -1,0 +1,701 @@
+"""Walk extraction as iterative DataFrame self-joins.
+
+The reference extracts walks per entity in forked worker processes
+(pyrdf2vec/walkers/walker.py:158-165) doing dict-of-set adjacency lookups;
+here the per-entity loop IS the partitioned frontier and each BFS depth is
+one adjacency equi-join over the deduplicated edge table (SURVEY.md W1-W14).
+Hub-entity skew in that join is handled by AQE skew-join splitting
+(session.py); lineage growth in the iterative loop is cut by
+localCheckpoint every few depths.
+
+Walk layout (pyrdf2vec/typings.py:8-9): position 0 = root entity, odd
+positions = predicates, even = entities.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.samplers import edge_weights, normalize_hop_weights
+
+CHECKPOINT_EVERY = 4  # truncate join-loop lineage every k depths
+
+
+def _seeds(entities: DataFrame) -> DataFrame:
+    return entities.select(F.col(entities.columns[0]).alias("entity")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 — exhaustive BFS (RandomWalker._bfs, pyrdf2vec/walkers/random.py:50-81)
+# ---------------------------------------------------------------------------
+def bfs_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    is_reverse: bool = False,
+) -> DataFrame:
+    """All maximal-or-dead-end walks of depth ≤ max_depth from each root.
+
+    Reference semantics (random.py:67-81): a walk with ≥1 extension is
+    REPLACED by its extensions, so the surviving set is depth-max_depth
+    walks plus shorter dead-end walks. Reverse mode prepends (obj, pred)
+    at the head, root ends up last (random.py:71-73).
+
+    Each depth is one left join frontier→edges; rows with no match freeze
+    into the finished set — exactly the replace-if-extended semantics.
+    """
+    walks = _seeds(entities).select(
+        "entity", F.array(F.col("entity")).alias("walk")
+    )
+    finished: DataFrame | None = None
+    e = kg.edges
+    for depth in range(max_depth):
+        if is_reverse:
+            key = F.element_at(F.col("walk"), 1)
+            joined = walks.join(e, key == e["dst"], "left")
+            extended = F.concat(
+                F.array(F.col("src"), F.col("pred")), F.col("walk")
+            )
+        else:
+            key = F.element_at(F.col("walk"), -1)
+            joined = walks.join(e, key == e["src"], "left")
+            extended = F.concat(
+                F.col("walk"), F.array(F.col("pred"), F.col("dst"))
+            )
+        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
+        finished = dead if finished is None else finished.unionByName(dead)
+        walks = joined.where(F.col("pred").isNotNull()).select(
+            "entity", extended.alias("walk")
+        )
+        if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
+            walks = walks.localCheckpoint(eager=False)
+    out = walks if finished is None else finished.unionByName(walks)
+    return out.dropDuplicates(["entity", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# W3 — sampled DFS walks (RandomWalker._dfs, random.py:83-118 +
+# Sampler.sample_hop, samplers/sampler.py:138-180)
+# ---------------------------------------------------------------------------
+def sampled_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    max_walks: int,
+    sampler: str = "uniform",
+    inverse: bool = False,
+    split: bool = False,
+    alpha: float = 0.85,
+    seed: int = 42,
+    is_reverse: bool = False,
+) -> DataFrame:
+    """Exactly ``max_walks`` root-anchored walks per entity, each hop drawn
+    with probability proportional to the sampler weight.
+
+    The reference draws hops sequentially with a shared ``visited`` set
+    (sampler.py:159-171) — inherently single-threaded state. We reproduce
+    the *distribution* (documented divergence, SURVEY.md §5.4.1): every
+    (entity, walk_id) slot extends depth-by-depth, choosing one candidate
+    hop per step via the exponential-race trick: key =
+    -ln(u)/w with u a per-(slot, depth, candidate) deterministic hash —
+    the argmin is distributed ∝ w. One shuffle (min_by agg) per depth,
+    fully deterministic given ``seed``.
+    """
+    weights = edge_weights(kg, sampler, alpha=alpha)
+    norm = normalize_hop_weights(
+        weights, ["src"], kg=kg, inverse=inverse, split=split
+    ).where(F.col("norm_weight").isNotNull() & (F.col("norm_weight") > 0))
+    norm = norm.persist()
+
+    slots = (
+        _seeds(entities)
+        .crossJoin(
+            entities.sparkSession.range(max_walks).select(
+                F.col("id").cast("int").alias("walk_id")
+            )
+        )
+        .select("entity", "walk_id", F.array(F.col("entity")).alias("walk"))
+    )
+    walks = slots
+    finished: DataFrame | None = None
+    for depth in range(max_depth):
+        if is_reverse:
+            key = F.element_at(F.col("walk"), 1)
+            joined = walks.join(norm, key == norm["src"], "left")
+        else:
+            key = F.element_at(F.col("walk"), -1)
+            joined = walks.join(norm, key == norm["src"], "left")
+        dead = joined.where(F.col("pred").isNull()).select(
+            "entity", "walk_id", "walk"
+        )
+        finished = dead if finished is None else finished.unionByName(dead)
+        live = joined.where(F.col("pred").isNotNull())
+        # deterministic u ∈ (0,1) per (slot, depth, candidate)
+        u = (
+            (
+                F.pmod(
+                    F.xxhash64(
+                        F.col("entity"),
+                        F.col("walk_id"),
+                        F.lit(depth),
+                        F.col("pred"),
+                        F.col("dst") if not is_reverse else F.col("src"),
+                        F.lit(seed),
+                    ),
+                    F.lit(2**31 - 1),
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(float(2**31))
+        )
+        race_key = -F.log(u) / F.col("norm_weight")
+        picked = live.groupBy("entity", "walk_id").agg(
+            F.min_by(
+                F.struct(
+                    F.col("pred").alias("p"),
+                    (F.col("src") if is_reverse else F.col("dst")).alias("o"),
+                ),
+                race_key,
+            ).alias("hop"),
+            F.first("walk").alias("walk"),
+        )
+        if is_reverse:
+            nxt = F.concat(
+                F.array(F.col("hop.o"), F.col("hop.p")), F.col("walk")
+            )
+        else:
+            nxt = F.concat(
+                F.col("walk"), F.array(F.col("hop.p"), F.col("hop.o"))
+            )
+        walks = picked.select("entity", "walk_id", nxt.alias("walk"))
+        if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
+            walks = walks.localCheckpoint(eager=False)
+    out = walks if finished is None else finished.unionByName(walks)
+    norm.unpersist()
+    return out.select("entity", "walk")
+
+
+# ---------------------------------------------------------------------------
+# W4 — with_reverse combination (random.py:134-139)
+# ---------------------------------------------------------------------------
+def combine_with_reverse(forward: DataFrame, reverse: DataFrame) -> DataFrame:
+    """Per-entity cartesian product r_walk[:-1] + walk (root centered):
+    equi-join on the root — each reverse walk (root last) loses its root
+    and is prepended to each forward walk."""
+    rev = reverse.select(
+        F.col("entity"),
+        F.expr("slice(walk, 1, size(walk) - 1)").alias("rev_prefix"),
+    )
+    return forward.join(rev, "entity").select(
+        "entity", F.concat(F.col("rev_prefix"), F.col("walk")).alias("walk")
+    )
+
+
+def extract_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    max_walks: int | None = None,
+    with_reverse: bool = False,
+    sampler: str = "uniform",
+    inverse: bool = False,
+    split: bool = False,
+    alpha: float = 0.85,
+    seed: int = 42,
+) -> DataFrame:
+    """RandomWalker.extract_walks (random.py:120-140): BFS when max_walks
+    is None, sampled DFS otherwise; optional reverse-combine."""
+    if max_walks is None:
+        fwd = bfs_walks(kg, entities, max_depth)
+        if with_reverse:
+            rev = bfs_walks(kg, entities, max_depth, is_reverse=True)
+            return combine_with_reverse(fwd, rev)
+        return fwd
+    fwd = sampled_walks(
+        kg, entities, max_depth, max_walks, sampler, inverse, split, alpha, seed
+    )
+    if with_reverse:
+        rev = sampled_walks(
+            kg,
+            entities,
+            max_depth,
+            max_walks,
+            sampler,
+            inverse,
+            split,
+            alpha,
+            seed + 1,
+            is_reverse=True,
+        )
+        return combine_with_reverse(fwd, rev)
+    return fwd
+
+
+# ---------------------------------------------------------------------------
+# W5/W6 — md5 canonicalization + dedup (random.py:142-183)
+# ---------------------------------------------------------------------------
+def _md5_repr(name: str, md5_bytes: int) -> str:
+    """Byte-exact replica of random.py:162-163:
+    str(md5(name.encode()).digest()[:md5_bytes]) — the b'...' tokens the
+    golden corpora hard-code (tests/embedders/test_word2vec.py:8-77)."""
+    return str(hashlib.md5(name.encode()).digest()[:md5_bytes])
+
+
+def canonicalize_walks(
+    walks: DataFrame,
+    entity_names: Iterable[str] | None = None,
+    md5_bytes: int | None = 8,
+    keep_root: bool = False,
+) -> DataFrame:
+    """Map even-position non-seed vertices to md5-digest reprs; keep seed
+    entities and predicates (odd positions) verbatim (random.py:142-163).
+    ``keep_root=True`` additionally keeps position 0 literal — the rule
+    the golden corpora of tests/embedders/test_word2vec.py:8-77 encode.
+
+    Arrow-batched pandas UDF over the walk array — zero shuffle; the
+    Python-bytes repr formatting is not expressible in Catalyst, so this
+    is one of the engine's few sanctioned UDFs (SURVEY.md §2.7). A
+    per-batch dict memoizes digests (vertex names repeat heavily).
+    """
+    if md5_bytes is None:
+        return walks.dropDuplicates(["entity", "walk"])
+    ents = frozenset(entity_names or [])
+    nbytes = md5_bytes
+    kroot = keep_root
+
+    @pandas_udf(ArrayType(StringType()))
+    def _canon(col: pd.Series) -> pd.Series:
+        cache: dict[str, str] = {}
+
+        def mapv(v: str) -> str:
+            out = cache.get(v)
+            if out is None:
+                out = str(hashlib.md5(v.encode()).digest()[:nbytes])
+                cache[v] = out
+            return out
+
+        return col.map(
+            lambda walk: [
+                v
+                if (i % 2 == 1 or v in ents or (kroot and i == 0))
+                else mapv(v)
+                for i, v in enumerate(walk)
+            ]
+        )
+
+    return walks.select(
+        "entity", _canon(F.col("walk")).alias("walk")
+    ).dropDuplicates(["entity", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# W7 — AnonymousWalker (pyrdf2vec/walkers/anonymous.py:38-60)
+# ---------------------------------------------------------------------------
+def anonymous_walks(walks: DataFrame) -> DataFrame:
+    """Replace every vertex whose name differs from the root by the
+    0-based index of the first occurrence of its name in the walk —
+    pure Catalyst higher-order functions, no UDF."""
+    return walks.select(
+        "entity",
+        F.expr(
+            "transform(walk, v -> CASE WHEN v = entity THEN v "
+            "ELSE cast(array_position(walk, v) - 1 as string) END)"
+        ).alias("walk"),
+    ).dropDuplicates(["entity", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# W8 — WalkletWalker (pyrdf2vec/walkers/walklet.py:38-59)
+# ---------------------------------------------------------------------------
+def walklet_walks(walks: DataFrame, with_reverse: bool = False) -> DataFrame:
+    """Explode each walk into length-2 (root, v_i) walklets (reversed pairs
+    under with_reverse); length-1 walks survive as (root,)."""
+    singles = walks.where(F.size("walk") == 1).select(
+        "entity", F.array(F.col("entity")).alias("walk")
+    )
+    pair = (
+        F.array(F.col("v"), F.col("entity"))
+        if with_reverse
+        else F.array(F.col("entity"), F.col("v"))
+    )
+    pairs = (
+        walks.where(F.size("walk") > 1)
+        .select(
+            "entity",
+            F.explode(F.expr("slice(walk, 2, size(walk) - 1)")).alias("v"),
+        )
+        .select("entity", pair.alias("walk"))
+    )
+    return singles.unionByName(pairs).dropDuplicates(["entity", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# W9 — NGramWalker (pyrdf2vec/walkers/ngram.py:60-114)
+# ---------------------------------------------------------------------------
+def ngram_walks(
+    walks: DataFrame,
+    grams: int = 3,
+    wildcards: list[int] | None = None,
+) -> DataFrame:
+    """Relabel even positions ≥ grams by a global id of the trailing
+    n-gram. The reference assigns ids by first-encounter order from a
+    shared dict (_n_gram_map) — ids are opaque; we assign them by
+    dense_rank over the distinct n-gram keys (deterministic, same
+    one-to-many structure; documented divergence in id *values*).
+
+    Wildcard variants (ngram.py:101-113): for each wildcard w, every
+    combination of w positions (excluding root) is replaced by '*' and
+    the variant re-relabeled. Combinations are enumerated per walk
+    length on the driver (walk length ≤ 2·depth+1, tiny) and joined in.
+    """
+    work = walks.select("entity", "walk")
+    if wildcards:
+        lengths = [r[0] for r in walks.select(F.size("walk")).distinct().collect()]
+        combo_rows = []
+        for L in lengths:
+            for w in wildcards:
+                for idx in itertools.combinations(range(1, L), w):
+                    combo_rows.append((L, list(idx)))
+        if combo_rows:
+            spark = walks.sparkSession
+            combos = spark.createDataFrame(
+                combo_rows, "walk_len int, wild_idx array<int>"
+            )
+            variants = (
+                walks.join(combos, F.size("walk") == F.col("walk_len"))
+                .select(
+                    "entity",
+                    F.expr(
+                        "transform(walk, (v, i) -> CASE WHEN "
+                        "array_contains(wild_idx, i) THEN '*' ELSE v END)"
+                    ).alias("walk"),
+                )
+            )
+            work = work.unionByName(variants)
+
+    with_id = work.withColumn("wid", F.monotonically_increasing_id())
+    pos = with_id.select(
+        "entity", "wid", "walk", F.posexplode("walk").alias("i", "v")
+    )
+    relabel = pos.where(
+        (F.col("i") % 2 == 0) & (F.col("i") >= grams) & (F.col("i") > 0)
+    ).withColumn(
+        "ngram_key",
+        F.expr(
+            f"array_join(slice(walk, greatest(1, i - {grams - 1} + 1), "
+            f"i + 1 - greatest(1, i - {grams - 1} + 1) + 1), '')"
+        ),
+    )
+    ids = (
+        relabel.select("ngram_key")
+        .distinct()
+        .withColumn(
+            "gram_id",
+            (F.dense_rank().over(Window.orderBy("ngram_key")) - 1).cast("string"),
+        )
+    )
+    relabeled = relabel.join(ids, "ngram_key").select(
+        "wid", "i", F.col("gram_id").alias("v_new")
+    )
+    rebuilt = (
+        pos.join(relabeled, ["wid", "i"], "left")
+        .select(
+            "entity",
+            "wid",
+            "i",
+            F.coalesce("v_new", "v").alias("tok"),
+        )
+        .groupBy("entity", "wid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("tok")))
+            ).alias("toks")
+        )
+        .select(
+            "entity", F.expr("transform(toks, t -> t.tok)").alias("walk")
+        )
+    )
+    return rebuilt.dropDuplicates(["entity", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# W10 — HALKWalker (pyrdf2vec/walkers/halk.py:59-176)
+# ---------------------------------------------------------------------------
+def halk_walks(
+    walks: DataFrame,
+    freq_thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Corpus-global rare-predicate filtering.
+
+    Phase 1 (build_dictionary + get_rare_predicates, halk.py:59-101):
+    support(pred) = #distinct walks containing it; rare if
+    support/|walks| < threshold. Phase 2 (_post_extract 118-176,
+    non-reverse path): per walk keep root + non-rare (pred, obj) pairs;
+    drop results shorter than 3; entities whose every walk vanished fall
+    back to the bare (root,) walk. One output copy per threshold.
+
+    Spark shape: explode → distinct → groupBy count (the reference's only
+    corpus-wide aggregation), broadcast-joined back; reconstruction is
+    pure array functions — no shuffle beyond the count.
+    """
+    thresholds = freq_thresholds if freq_thresholds is not None else [0.01]
+    spark = walks.sparkSession
+    w = walks.withColumn("wid", F.monotonically_increasing_id()).persist()
+    total = w.count()
+    support = (
+        w.select(
+            "wid",
+            F.explode(
+                F.expr("filter(transform(walk, (v, i) -> CASE WHEN i % 2 = 1 "
+                       "THEN v END), v -> v is not null)")
+            ).alias("pred"),
+        )
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count("*").alias("support"))
+    )
+    outs = []
+    for t in thresholds:
+        rare = support.where(F.col("support") / F.lit(total) < F.lit(t)).select(
+            F.collect_set("pred").alias("rare_set")
+        )
+        filtered = w.crossJoin(F.broadcast(rare)).select(
+            "entity",
+            F.concat(
+                F.array(F.col("entity")),
+                F.expr(
+                    "IF(size(walk) < 3, array(), "
+                    "flatten(filter(transform(sequence(1, size(walk) - 2, 2), i -> "
+                    "CASE WHEN NOT coalesce("
+                    "array_contains(rare_set, walk[i]), false) "
+                    "THEN array(walk[i], walk[i + 1]) END), x -> x is not null)))"
+                ),
+            ).alias("walk"),
+        )
+        kept = filtered.where(F.size("walk") >= 3)
+        # entities with no surviving walk → single (root,) walk
+        fallback = (
+            w.select("entity")
+            .distinct()
+            .join(kept.select("entity").distinct(), "entity", "left_anti")
+            .select("entity", F.array(F.col("entity")).alias("walk"))
+        )
+        outs.append(kept.unionByName(fallback))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    res = res.dropDuplicates(["entity", "walk"])
+    _ = spark  # session kept referenced for symmetry with other builders
+    w.unpersist()
+    return res
+
+
+# ---------------------------------------------------------------------------
+# W12 — WLWalker labels (pyrdf2vec/walkers/weisfeiler_lehman.py:69-129)
+# ---------------------------------------------------------------------------
+def wl_labels(kg: SparkKG, wl_iterations: int, md5_bytes: int | None = 8) -> DataFrame:
+    """Weisfeiler-Lehman relabeling over the reference's subj→predOcc→obj
+    vertex encoding (SURVEY.md §1.3): predicate OCCURRENCES are nodes too,
+    each with parent = its subject, and each object's parents are its
+    in-edge occurrences.
+
+    label₀ = name; labelₙ = repr8(md5(labelₙ₋₁ ‖ '-' ‖ '-'.join(sorted
+    set of parents' labelₙ₋₁))) — a Pregel-style groupBy/agg loop.
+    Returns (name, n, label) for ENTITY vertices only, n ∈ [0, wl_iterations]
+    (only entity labels are substituted into walks, _map_wl 155-172).
+    """
+    e = kg.edges
+    occ = e.select(
+        F.concat_ws("", "src", "pred", "dst").alias("node"),
+        F.col("pred").alias("name"),
+        F.col("src").alias("subj"),
+        F.col("dst").alias("obj"),
+    ).persist()
+    ent_nodes = kg.entity_names().select(
+        F.col("name").alias("node"), F.col("name")
+    )
+    # parent edges: (child node, parent node)
+    parents = occ.select(
+        F.col("node").alias("child"), F.col("subj").alias("parent")
+    ).unionByName(
+        occ.select(F.col("obj").alias("child"), F.col("node").alias("parent"))
+    ).persist()
+
+    nodes = ent_nodes.unionByName(occ.select("node", "name")).persist()
+    labels = nodes.select("node", F.col("name").alias("label")).persist()
+
+    nbytes = md5_bytes
+
+    @pandas_udf(StringType())
+    def _digest_repr(col: pd.Series) -> pd.Series:
+        if nbytes is None:
+            return col
+        return col.map(lambda s: str(hashlib.md5(s.encode()).digest()[:nbytes]))
+
+    out = [
+        nodes.join(labels, "node")
+        .where(F.col("node") == F.col("name"))  # entity nodes only
+        .select("name", F.lit(0).alias("n"), "label")
+    ]
+    for n in range(1, wl_iterations + 1):
+        suffix = (
+            parents.join(
+                labels.withColumnRenamed("node", "parent").withColumnRenamed(
+                    "label", "plabel"
+                ),
+                "parent",
+            )
+            .groupBy("child")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_set("plabel")), "-"
+                ).alias("suffix")
+            )
+        )
+        raw = labels.join(
+            suffix.withColumnRenamed("child", "node"), "node", "left"
+        ).select(
+            "node",
+            F.concat_ws(
+                "-", F.col("label"), F.coalesce(F.col("suffix"), F.lit(""))
+            ).alias("raw_label"),
+        )
+        new_labels = raw.select(
+            "node", _digest_repr(F.col("raw_label")).alias("label")
+        ).localCheckpoint(eager=False)
+        labels.unpersist()
+        labels = new_labels.persist()
+        out.append(
+            labels.join(ent_nodes, "node").select(
+                "name", F.lit(n).alias("n"), "label"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    res = res.persist()
+    res.count()
+    labels.unpersist()
+    parents.unpersist()
+    occ.unpersist()
+    nodes.unpersist()
+    return res
+
+
+def wl_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    max_walks: int | None = None,
+    wl_iterations: int = 4,
+    md5_bytes: int | None = 8,
+    with_reverse: bool = False,
+    sampler: str = "uniform",
+    seed: int = 42,
+) -> DataFrame:
+    """WLWalker._extract (weisfeiler_lehman.py:174-193): for each
+    n ∈ [0, wl_iterations], emit every walk with even-position non-seed
+    vertices replaced by labelₙ. Substitution = explode walk positions,
+    join the label table, reassemble ordered — one shuffle per corpus,
+    amortized across all n via a single join on (name, n)."""
+    raw = extract_walks(
+        kg, entities, max_depth, max_walks,
+        with_reverse=with_reverse, sampler=sampler, seed=seed,
+    )
+    labels = wl_labels(kg, wl_iterations, md5_bytes)
+    seeds = _seeds(entities)
+    iters = entities.sparkSession.range(wl_iterations + 1).select(
+        F.col("id").cast("int").alias("n")
+    )
+    with_id = raw.withColumn("wid", F.monotonically_increasing_id())
+    pos = with_id.crossJoin(iters).select(
+        "entity", "wid", "n", F.posexplode("walk").alias("i", "v")
+    )
+    is_sub = (F.col("i") % 2 == 0) & (~F.col("is_seed"))
+    pos = pos.join(
+        seeds.select(F.col("entity").alias("v"), F.lit(True).alias("is_seed")),
+        "v",
+        "left",
+    ).withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
+    subbed = (
+        pos.join(
+            labels.withColumnRenamed("name", "v"),
+            ["v", "n"],
+            "left",
+        )
+        .select(
+            "entity",
+            "wid",
+            "n",
+            "i",
+            F.when(is_sub & F.col("label").isNotNull(), F.col("label"))
+            .otherwise(F.col("v"))
+            .alias("tok"),
+        )
+        .groupBy("entity", "wid", "n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("tok")))
+            ).alias("toks")
+        )
+        .select("entity", F.expr("transform(toks, t -> t.tok)").alias("walk"))
+    )
+    return subbed.dropDuplicates(["entity", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# W11 — SplitWalker (pyrdf2vec/walkers/split.py:53-125)
+# ---------------------------------------------------------------------------
+def split_walks(walks: DataFrame) -> DataFrame:
+    """Tokenizing relabeler: every non-root vertex is split on '#',
+    camel-case boundaries, and letter/digit seams; floats collapse to
+    str(float(name)); tokens lowercased; order-preserving dedup
+    (dict(zip(w, w)) in the reference). Vectorized pandas UDF — pure
+    string work, regex identical to split.py basic_split."""
+    import re
+
+    camel = re.compile(r"([A-Z][a-z]*)")
+    nonalnum = re.compile(r"[^A-Za-z0-9]+")
+    alpha_num = re.compile(r"([a-z]+)([0-9]+)", re.I)
+
+    def split_vertex(name: str, pos: int) -> list[str]:
+        vertices: list[str] = []
+        if "http" in name:
+            vertices = " ".join(re.split("[#]", name)).split()
+        base = vertices[-1] if vertices else name
+        vertices = [s for s in camel.split(base) if s]
+        if pos % 2 != 1:
+            try:
+                vertices = [str(float(base))]
+            except ValueError:
+                vertices = nonalnum.sub(" ", base).split()
+                if len(vertices) == 1:
+                    m = alpha_num.match(vertices[0])
+                    if m:
+                        vertices = list(m.groups())
+        return vertices
+
+    @pandas_udf(ArrayType(StringType()))
+    def _split(col: pd.Series) -> pd.Series:
+        def go(walk):
+            out: list[str] = []
+            for i, v in enumerate(walk):
+                if i == 0:
+                    continue
+                out.extend(t.lower() for t in split_vertex(v, i))
+            # order-preserving dedup, reference split.py:123-124
+            return list(dict(zip(out, out)))
+
+        return col.map(go)
+
+    return walks.select(
+        "entity", _split(F.col("walk")).alias("walk")
+    ).dropDuplicates(["entity", "walk"])

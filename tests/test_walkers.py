@@ -1,0 +1,375 @@
+"""Walker parity: invariants from /root/reference/tests/walkers/* plus
+byte-exact golden-corpus reproduction (tests/embedders/test_word2vec.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrdf2vec_spark.walks import (
+    anonymous_walks,
+    bfs_walks,
+    canonicalize_walks,
+    combine_with_reverse,
+    extract_walks,
+    halk_walks,
+    ngram_walks,
+    sampled_walks,
+    split_walks,
+    walklet_walks,
+    wl_labels,
+    wl_walks,
+)
+from tests.conftest import ROOTS, URL, uri
+
+
+def walks_set(df):
+    return {(r["entity"], tuple(r["walk"])) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 BFS — differential vs reference _bfs semantics (random.py:50-81)
+# ---------------------------------------------------------------------------
+class TestBFS:
+    def test_loop_depth2_exact(self, kg_loop, roots):
+        got = walks_set(bfs_walks(kg_loop, roots, 2))
+        expect = {
+            (uri("Alice"), (uri("Alice"), uri("knows"), uri("Bob"), uri("knows"), uri("Dean"))),
+            (uri("Alice"), (uri("Alice"), uri("knows"), uri("Dean"), uri("loves"), uri("Alice"))),
+            (uri("Bob"), (uri("Bob"), uri("knows"), uri("Dean"), uri("loves"), uri("Alice"))),
+            (uri("Dean"), (uri("Dean"), uri("loves"), uri("Alice"), uri("knows"), uri("Bob"))),
+            (uri("Dean"), (uri("Dean"), uri("loves"), uri("Alice"), uri("knows"), uri("Dean"))),
+        }
+        assert got == expect
+
+    def test_chain_dead_ends_survive(self, kg_chain, roots):
+        # reference: a walk is only replaced when it has ≥1 extension;
+        # the chain's tail keeps shorter dead-end walks.
+        got = walks_set(bfs_walks(kg_chain, roots, 4))
+        # Dean has no outgoing edges → stays as the bare root walk
+        assert (uri("Dean"), (uri("Dean"),)) in got
+        for _, w in got:
+            assert len(w) <= 2 * 4 + 1
+            assert len(w) % 2 == 1
+
+    @pytest.mark.parametrize("depth", [0, 1, 2, 3, 5])
+    def test_length_bound_and_root(self, kg_loop, roots, depth):
+        # tests/walkers/test_random.py:58-88
+        for ent, w in walks_set(bfs_walks(kg_loop, roots, depth)):
+            assert len(w) <= 2 * depth + 1
+            assert w[0] == ent
+
+    def test_reverse_root_last(self, kg_loop, roots):
+        # tests/walkers/test_random.py:120-126 — reverse walks end at root
+        for ent, w in walks_set(bfs_walks(kg_loop, roots, 2, is_reverse=True)):
+            assert w[-1] == ent
+
+    def test_with_reverse_centered(self, kg_loop, roots):
+        fwd = bfs_walks(kg_loop, roots, 1)
+        rev = bfs_walks(kg_loop, roots, 1, is_reverse=True)
+        for ent, w in walks_set(combine_with_reverse(fwd, rev)):
+            assert ent in w
+            assert len(w) % 2 == 1
+
+
+# ---------------------------------------------------------------------------
+# W3 DFS — distributional invariants (exact RNG stream is per §5.4.1
+# a documented divergence)
+# ---------------------------------------------------------------------------
+class TestDFS:
+    @pytest.mark.parametrize("max_walks", [1, 2, 5])
+    def test_count_and_shape(self, kg_loop, roots, max_walks):
+        got = sampled_walks(kg_loop, roots, 2, max_walks).collect()
+        by_ent = {}
+        for r in got:
+            by_ent.setdefault(r["entity"], []).append(tuple(r["walk"]))
+        for ent in ROOTS:
+            assert len(by_ent[ent]) == max_walks
+            for w in by_ent[ent]:
+                assert w[0] == ent
+                assert len(w) <= 2 * 2 + 1
+
+    def test_deterministic(self, kg_loop, roots):
+        a = walks_set(sampled_walks(kg_loop, roots, 3, 4, seed=7))
+        b = walks_set(sampled_walks(kg_loop, roots, 3, 4, seed=7))
+        assert a == b
+
+    def test_weighted_distribution(self, kg_loop, spark):
+        # objfreq on LOOP: Alice's hops are Bob (in-deg 1) and Dean
+        # (in-deg 2) → Dean picked ~2/3 of the time.
+        ents = spark.createDataFrame([(uri("Alice"),)], "name string")
+        got = sampled_walks(
+            kg_loop, ents, 1, 600, sampler="objfreq", seed=1
+        ).collect()
+        dean = sum(1 for r in got if r["walk"][2] == uri("Dean"))
+        assert 0.55 < dean / len(got) < 0.78
+
+    def test_chain_dead_end_freezes(self, kg_chain, spark):
+        ents = spark.createDataFrame([(uri("Dean"),)], "name string")
+        got = sampled_walks(kg_chain, ents, 2, 3).collect()
+        assert len(got) == 3
+        assert all(tuple(r["walk"]) == (uri("Dean"),) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# W5 canonicalization — byte-exact goldens
+# (tests/embedders/test_word2vec.py:8-77)
+# ---------------------------------------------------------------------------
+CORPUS_LOOP = {
+    (URL + "#Alice", URL + "#knows", "b'\\x8b\\x93\\x8dx\\x1c\\xc7\\xd3\\xc9'",
+     URL + "#loves", "b'\\x94\\xefX\\x0c\\x04l4E'"),
+    (URL + "#Alice", URL + "#knows", "b'\\x1eK\\xad\\xc6\\xb6\\x1cu:'",
+     URL + "#knows", "b'\\x8b\\x93\\x8dx\\x1c\\xc7\\xd3\\xc9'"),
+    (URL + "#Bob", URL + "#knows", "b'\\x8b\\x93\\x8dx\\x1c\\xc7\\xd3\\xc9'",
+     URL + "#loves", "b'\\x94\\xefX\\x0c\\x04l4E'"),
+    (URL + "#Dean", URL + "#loves", "b'\\x94\\xefX\\x0c\\x04l4E'",
+     URL + "#knows", "b'\\x1eK\\xad\\xc6\\xb6\\x1cu:'"),
+    (URL + "#Dean", URL + "#loves", "b'\\x94\\xefX\\x0c\\x04l4E'",
+     URL + "#knows", "b'\\x8b\\x93\\x8dx\\x1c\\xc7\\xd3\\xc9'"),
+}
+
+
+class TestCanonicalize:
+    def test_golden_corpus_loop(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        got = {
+            tuple(r["walk"])
+            for r in canonicalize_walks(raw, [], 8, keep_root=True).collect()
+        }
+        assert got == CORPUS_LOOP
+
+    def test_seed_entities_kept(self, kg_loop, roots):
+        got = canonicalize_walks(
+            bfs_walks(kg_loop, roots, 2), ROOTS, 8
+        ).collect()
+        for r in got:
+            for i, tok in enumerate(r["walk"]):
+                # all LOOP vertices are seeds → nothing hashed
+                assert tok.startswith(URL)
+
+    def test_md5_none_passthrough(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 1)
+        got = canonicalize_walks(raw, [], None)
+        assert walks_set(got) == walks_set(raw)
+
+    def test_hash_prefix_invariant(self, kg_chain, roots):
+        # tests/walkers/test_random.py:110-113 — hashed objects repr
+        got = canonicalize_walks(bfs_walks(kg_chain, roots, 2), [], 8).collect()
+        for r in got:
+            for i, tok in enumerate(r["walk"]):
+                if i % 2 == 0:
+                    assert tok.startswith("b'")
+
+
+# ---------------------------------------------------------------------------
+# W7 Anonymous (anonymous.py:38-60)
+# ---------------------------------------------------------------------------
+class TestAnonymous:
+    def test_loop(self, kg_loop, roots):
+        got = walks_set(anonymous_walks(bfs_walks(kg_loop, roots, 2)))
+        # Alice -> knows -> Dean -> loves -> Alice:
+        # positions: Alice(root, kept), knows→1, Dean→2, loves→3, Alice→kept
+        assert (
+            uri("Alice"),
+            (uri("Alice"), "1", "2", "3", uri("Alice")),
+        ) in got
+
+    def test_repeated_name_same_index(self, spark):
+        from pyrdf2vec_spark.graph import SparkKG
+
+        t = spark.createDataFrame(
+            [("r", "p", "x"), ("x", "p", "y")],
+            "subj string, pred string, obj string",
+        )
+        kg = SparkKG(t)
+        ents = spark.createDataFrame([("r",)], "name string")
+        got = walks_set(anonymous_walks(bfs_walks(kg, ents, 2)))
+        # r p x p y → (r, 1, 2, 1, 4): both 'p' map to index 1
+        assert ("r", ("r", "1", "2", "1", "4")) in got
+
+
+# ---------------------------------------------------------------------------
+# W8 Walklets (walklet.py:38-59)
+# ---------------------------------------------------------------------------
+class TestWalklet:
+    def test_pairs(self, kg_loop, roots):
+        got = walks_set(walklet_walks(bfs_walks(kg_loop, roots, 1)))
+        assert (uri("Alice"), (uri("Alice"), uri("knows"))) in got
+        assert (uri("Alice"), (uri("Alice"), uri("Bob"))) in got
+        for _, w in got:
+            assert len(w) in (1, 2)
+
+    def test_reverse_pairs(self, kg_loop, roots):
+        got = walks_set(
+            walklet_walks(bfs_walks(kg_loop, roots, 1), with_reverse=True)
+        )
+        assert (uri("Alice"), (uri("Bob"), uri("Alice"))) in got
+
+    def test_single_vertex_walk(self, kg_chain, spark):
+        from pyrdf2vec_spark.graph import SparkKG
+
+        ents = spark.createDataFrame([(uri("Julio"),)], "name string")
+        got = walks_set(walklet_walks(bfs_walks(kg_chain, ents, 2)))
+        assert got == {(uri("Julio"), (uri("Julio"),))}
+
+
+# ---------------------------------------------------------------------------
+# W9 NGram (ngram.py:60-114)
+# ---------------------------------------------------------------------------
+class TestNGram:
+    def test_relabel_positions(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        got = walks_set(ngram_walks(raw, grams=3))
+        for ent, w in got:
+            assert w[0] == ent  # pos 0 kept
+            assert w[1].startswith(URL)  # odd positions kept
+            assert w[3].startswith(URL) if len(w) > 3 else True
+            if len(w) == 5:
+                assert not w[4].startswith(URL)  # pos 4 relabeled to id
+
+    def test_same_ngram_same_id(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        rows = ngram_walks(raw, grams=3).collect()
+        # Alice and Bob share suffix (Dean loves Alice): trailing 3-gram
+        # at pos 4 is (Dean, loves, Alice) in both → identical id
+        ids = {}
+        for r in rows:
+            w = r["walk"]
+            if len(w) == 5 and w[3] == uri("loves"):
+                ids.setdefault("key", set()).add(w[4])
+        assert len(ids["key"]) == 1
+
+    def test_wildcards_add_variants(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 1)
+        plain = ngram_walks(raw, grams=2).count()
+        wild = ngram_walks(raw, grams=2, wildcards=[1]).count()
+        assert wild > plain
+
+
+# ---------------------------------------------------------------------------
+# W10 HALK (halk.py:59-176; thresholds per tests/walkers/test_halk.py)
+# ---------------------------------------------------------------------------
+class TestHALK:
+    def test_low_threshold_keeps_all(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        got = walks_set(halk_walks(raw, [0.001]))
+        assert got == walks_set(raw)
+
+    def test_high_threshold_drops_rare(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        # threshold above 1.0 marks every predicate rare → every walk
+        # falls back to the bare (root,) walk (halk.py:168-175)
+        got = walks_set(halk_walks(raw, [1.1]))
+        assert got == {(r, (r,)) for r in ROOTS}
+
+    def test_threshold_drops_only_rare_pred(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        # LOOP depth-2: knows in 5/5 walks, loves in 4/5 → at 0.99
+        # only 'loves' is rare; its (pred,obj) pairs vanish
+        got = walks_set(halk_walks(raw, [0.99]))
+        for _, w in got:
+            assert uri("loves") not in w
+        assert (uri("Bob"), (uri("Bob"), uri("knows"), uri("Dean"))) in got
+
+    def test_selective_drop(self, kg_chain, roots):
+        raw = bfs_walks(kg_chain, roots, 1)
+        got = halk_walks(raw, [0.5])
+        for _, w in walks_set(got):
+            assert len(w) == 1 or len(w) >= 3
+
+    def test_multiple_thresholds_union(self, kg_loop, roots):
+        raw = bfs_walks(kg_loop, roots, 2)
+        one = halk_walks(raw, [0.001]).count()
+        two = halk_walks(raw, [0.001, 0.99]).count()
+        assert two > one
+
+
+# ---------------------------------------------------------------------------
+# W12 WL (weisfeiler_lehman.py:69-129)
+# ---------------------------------------------------------------------------
+class TestWL:
+    def test_label0_is_name(self, kg_loop):
+        labs = wl_labels(kg_loop, 1).collect()
+        l0 = {r["name"]: r["label"] for r in labs if r["n"] == 0}
+        assert l0[uri("Alice")] == uri("Alice")
+
+    def test_labels_reflect_parents(self, kg_loop):
+        labs = wl_labels(kg_loop, 2)
+        rows = labs.collect()
+        l1 = {r["name"]: r["label"] for r in rows if r["n"] == 1}
+        # all level-1 labels are md5 reprs and differ across entities
+        assert all(v.startswith("b'") for v in l1.values())
+        assert len(set(l1.values())) == len(l1)
+
+    def test_reference_label_formula(self, kg_loop):
+        # manual replica of _create_label for Bob at n=1:
+        # Bob's parents = the pred-occurrence (Alice,knows,Bob) with
+        # label0 = knows-URI → label1(Bob) = repr8(md5("Bob-knows"))
+        import hashlib
+
+        labs = {r["name"]: r["label"] for r in wl_labels(kg_loop, 1).collect() if r["n"] == 1}
+        expect = str(
+            hashlib.md5(
+                f"{uri('Bob')}-{uri('knows')}".encode()
+            ).digest()[:8]
+        )
+        assert labs[uri("Bob")] == expect
+
+    def test_wl_walks_counts(self, kg_loop, roots):
+        # walk count grows with iterations but stays bounded by
+        # (wl_iterations+1) × raw walks (test_weisfeiler_lehman.py:85-92)
+        raw_n = bfs_walks(kg_loop, roots, 2).count()
+        got = wl_walks(kg_loop, roots, 2, wl_iterations=2)
+        n = got.count()
+        assert raw_n <= n <= 3 * raw_n
+        for ent, w in walks_set(got):
+            assert w[0] == ent  # roots are seeds → kept verbatim
+
+
+# ---------------------------------------------------------------------------
+# W11 Split (split.py:53-125)
+# ---------------------------------------------------------------------------
+class TestSplit:
+    def test_basic_split(self, spark):
+        from pyrdf2vec_spark.graph import SparkKG
+
+        t = spark.createDataFrame(
+            [
+                ("http://dl#d19", "http://dl#hasBond", "http://dl#bond3209"),
+            ],
+            "subj string, pred string, obj string",
+        )
+        kg = SparkKG(t)
+        ents = spark.createDataFrame([("http://dl#d19",)], "name string")
+        got = walks_set(split_walks(bfs_walks(kg, ents, 1)))
+        # reference docstring example: root dropped (non-reverse),
+        # hasBond → has/bond, bond3209 → bond/3209; dedup keeps order
+        assert got == {("http://dl#d19", ("has", "bond", "3209"))}
+
+    def test_float_collapse(self, spark):
+        from pyrdf2vec_spark.graph import SparkKG
+
+        t = spark.createDataFrame(
+            [("e", "p", "0.42")], "subj string, pred string, obj string"
+        )
+        kg = SparkKG(t)
+        ents = spark.createDataFrame([("e",)], "name string")
+        got = walks_set(split_walks(bfs_walks(kg, ents, 1)))
+        assert got == {("e", ("p", "0.42"))}
+
+
+# ---------------------------------------------------------------------------
+# extract_walks dispatch (random.py:120-140)
+# ---------------------------------------------------------------------------
+class TestExtractWalks:
+    def test_bfs_when_no_max_walks(self, kg_loop, roots):
+        assert walks_set(extract_walks(kg_loop, roots, 2)) == walks_set(
+            bfs_walks(kg_loop, roots, 2)
+        )
+
+    def test_with_reverse_counts(self, kg_loop, roots):
+        got = extract_walks(kg_loop, roots, 1, max_walks=2, with_reverse=True)
+        by_ent = {}
+        for r in got.collect():
+            by_ent.setdefault(r["entity"], []).append(r)
+        # max_walks² combinations per entity (random.py:134-139)
+        for ent, ws in by_ent.items():
+            assert len(ws) == 4
