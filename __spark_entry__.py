@@ -1,38 +1,605 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG→walks→Word2Vec pipeline on
+sf0.001; every ``queries()`` entry is one implemented operator from
+SURVEY.md §2 (or a training-data operator), and ``oracle_sql()`` gives
+its DuckDB twin over the same parquet views. Column names and rounding
+are aligned on both sides for the driver's order-insensitive value-hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.sources.tpch_graph import (
+    TPCH_EDGES_SQL,
+    TPCH_TRIPLES_SQL,
+    load_tables,
+    tpch_triples,
+)
+
+_KG_CACHE: dict[str, SparkKG] = {}
 
 
+def _kg(spark: SparkSession, sf_dir: str) -> SparkKG:
+    kg = _KG_CACHE.get(sf_dir)
+    if kg is None:
+        kg = SparkKG(tpch_triples(load_tables(spark, sf_dir)))
+        _KG_CACHE[sf_dir] = kg
+    return kg
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _customer_seeds(kg: SparkKG) -> DataFrame:
+    return kg.entity_names().where(F.col("name").startswith("c:"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: TPC-H-derived KG → BFS depth-2 walks from
+    customer entities → md5 canonicalization → MLlib Word2Vec →
+    per-entity embeddings."""
+    from pyrdf2vec_spark.embed import SparkWord2Vec
+    from pyrdf2vec_spark.walks import bfs_walks, canonicalize_walks
+
+    kg = _kg(spark, "/root/testdata/sf0.001")
+    seeds = _customer_seeds(kg)
+    walks = canonicalize_walks(bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True)
+    w2v = SparkWord2Vec(vector_size=32, seed=42).fit(walks)
+    return w2v.transform(seeds)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def _q_kg_triples(spark, sf):
+    return tpch_triples(load_tables(spark, sf))
+
+
+def _q_kg_edges(spark, sf):
+    return _kg(spark, sf).edges
+
+
+def _q_kg_vertices(spark, sf):
+    return _kg(spark, sf).vertices()
+
+
+def _q_kg_hops_customers(spark, sf):
+    return _kg(spark, sf).edges.where(F.col("src").startswith("c:"))
+
+
+def _q_kg_hops_reverse_nations(spark, sf):
+    # parents of nation vertices (kg.get_hops is_reverse semantics)
+    return _kg(spark, sf).edges.where(F.col("dst").startswith("n:")).select(
+        F.col("dst").alias("node"), "pred", F.col("src").alias("parent")
+    )
+
+
+def _q_kg_bfs_depth2(spark, sf):
+    from pyrdf2vec_spark.walks import bfs_walks
+
+    kg = _kg(spark, sf)
+    walks = bfs_walks(kg, _customer_seeds(kg), 2)
+    return walks.select(
+        "entity", F.array_join("walk", "->").alias("walk_str")
+    )
+
+
+def _q_kg_existence(spark, sf):
+    kg = _kg(spark, sf)
+    probe = _customer_seeds(kg).union(
+        spark.createDataFrame([("c:-1",), ("ghost:99",)], "name string")
+    )
+    return kg.missing_entities(probe).select("name")
+
+
+def _q_kg_literal_chain(spark, sf):
+    kg = _kg(spark, sf)
+    return kg.pliterals(
+        _customer_seeds(kg), ["in_nation", "has_name"]
+    ).select(F.col("entity"), F.col("value"))
+
+
+def _q_sampler_objfreq(spark, sf):
+    return _kg(spark, sf).edges.groupBy("dst").agg(
+        F.count("*").alias("weight")
+    )
+
+
+def _q_sampler_predfreq(spark, sf):
+    return _kg(spark, sf).edges.groupBy("pred").agg(
+        F.count("*").alias("weight")
+    )
+
+
+def _q_sampler_objpredfreq(spark, sf):
+    return _kg(spark, sf).edges.groupBy("pred", "dst").agg(
+        F.count("*").alias("weight")
+    )
+
+
+def _q_sampler_wide(spark, sf):
+    from pyrdf2vec_spark.samplers import edge_weights
+
+    return edge_weights(_kg(spark, sf), "wide").select(
+        "src", "pred", "dst", F.round("weight", 4).alias("weight")
+    )
+
+
+def _q_sampler_norm_objfreq(spark, sf):
+    from pyrdf2vec_spark.samplers import edge_weights, normalize_hop_weights
+
+    w = edge_weights(_kg(spark, sf), "objfreq")
+    return normalize_hop_weights(w, ["src"]).select(
+        "src", "pred", "dst", F.round("norm_weight", 6).alias("norm_weight")
+    )
+
+
+def _q_split_degrees(spark, sf):
+    from pyrdf2vec_spark.samplers import split_degrees
+
+    return split_degrees(_kg(spark, sf))
+
+
+def _q_pagerank(spark, sf):
+    from pyrdf2vec_spark.samplers import pagerank
+
+    return pagerank(_kg(spark, sf), alpha=0.85, max_iter=30).select(
+        "name", F.round("rank", 8).alias("rank")
+    )
+
+
+def _q_walks_dfs(spark, sf):
+    from pyrdf2vec_spark.walks import sampled_walks
+
+    kg = _kg(spark, sf)
+    return sampled_walks(
+        kg, _customer_seeds(kg), 2, 3, sampler="objfreq", seed=42
+    ).select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
+def _q_wl_labels(spark, sf):
+    from pyrdf2vec_spark.walks import wl_labels
+
+    return wl_labels(_kg(spark, sf), 1)
+
+
+def _q_text_token_stats(spark, sf):
+    from pyrdf2vec_spark.functions.text import token_stats
+
+    return token_stats(_docs(spark, sf))
+
+
+def _q_text_quality(spark, sf):
+    from pyrdf2vec_spark.functions.text import quality_scores
+
+    return quality_scores(_docs(spark, sf))
+
+
+def _q_text_langid(spark, sf):
+    from pyrdf2vec_spark.functions.text import language_id
+
+    return language_id(_docs(spark, sf))
+
+
+def _q_text_fingerprint(spark, sf):
+    from pyrdf2vec_spark.functions.text import fingerprints
+
+    return fingerprints(_docs(spark, sf))
+
+
+def _q_dedup_exact(spark, sf):
+    from pyrdf2vec_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf))
+
+
+def _q_dedup_ngram_pairs(spark, sf):
+    from pyrdf2vec_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf).where(F.col("doc_id") < 400), k=3, threshold=0.2
+    )
+
+
+def _q_dedup_minhash_pairs(spark, sf):
+    from pyrdf2vec_spark.functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf).where(F.col("doc_id") < 400),
+        jaccard_threshold=0.5,
+    )
+
+
+def _q_dedup_simhash(spark, sf):
+    from pyrdf2vec_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf).where(F.col("doc_id") < 400), bits=16)
+
+
+def _q_dedup_simhash_pairs(spark, sf):
+    from pyrdf2vec_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf).where(F.col("doc_id") < 400), bits=16, max_hamming=1
+    )
+
+
+def _q_embed_topk(spark, sf):
+    from pyrdf2vec_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _q_embed_ivf_topk(spark, sf):
+    from pyrdf2vec_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probes=4)
+
+
+def _q_embed_neardup(spark, sf):
+    from pyrdf2vec_spark.functions.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.5)
+
+
+def _q_events_hourly(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _q_events_sessionize(spark, sf):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_multimodal_features(spark, sf):
+    from pyrdf2vec_spark.functions.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(_docs(spark, sf).where(F.col("doc_id") < 200))
+    return extract_features(media, dim=8).select(
+        "media_id", "modality", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
+def _q_transcript_pipeline(spark, sf):
+    from pyrdf2vec_spark.extract import extract_triples, triples_only
+    from pyrdf2vec_spark.sources.transcripts import synth_transcripts
+
+    n_conv = {"0.001": 100, "0.01": 1000, "0.1": 10000}.get(
+        sf.rstrip("/").rsplit("sf", 1)[-1], 100
+    )
+    tr = synth_transcripts(spark, n_conv, 10, seed=42)
+    return triples_only(extract_triples(tr))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_triples": _q_kg_triples,
+        "kg_edges": _q_kg_edges,
+        "kg_vertices": _q_kg_vertices,
+        "kg_hops_customers": _q_kg_hops_customers,
+        "kg_hops_reverse_nations": _q_kg_hops_reverse_nations,
+        "kg_bfs_depth2": _q_kg_bfs_depth2,
+        "kg_existence": _q_kg_existence,
+        "kg_literal_chain": _q_kg_literal_chain,
+        "sampler_objfreq": _q_sampler_objfreq,
+        "sampler_predfreq": _q_sampler_predfreq,
+        "sampler_objpredfreq": _q_sampler_objpredfreq,
+        "sampler_wide": _q_sampler_wide,
+        "sampler_norm_objfreq": _q_sampler_norm_objfreq,
+        "split_degrees": _q_split_degrees,
+        "pagerank": _q_pagerank,
+        "walks_dfs_sampled": _q_walks_dfs,
+        "wl_labels_n1": _q_wl_labels,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_pairs": _q_dedup_ngram_pairs,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "embed_topk": _q_embed_topk,
+        "embed_ivf_topk": _q_embed_ivf_topk,
+        "embed_neardup": _q_embed_neardup,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "multimodal_features": _q_multimodal_features,
+        "transcript_triples": _q_transcript_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+_EDGES_CTE = f"WITH edges AS ({TPCH_EDGES_SQL})"
+
+_TOKSTATS_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(lower(text)), ' +')) AS n_words,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+       length(text) AS n_chars_obs
+FROM documents
+"""
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), ' +')) AS n_words,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words,
+       (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+       n_punct / greatest(n_chars, 1) AS punct_ratio,
+       n_stop / greatest(n_words, 1) AS stop_ratio,
+       least(n_words / 64.0, 1.0) * 0.4
+         + (1.0 - least(n_punct / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+         + least(n_stop / greatest(n_words, 1) * 5, 1.0) * 0.3
+         AS quality_score
+FROM base
+"""
+
+_LANG_SCORE = (
+    "len(regexp_extract_all(lower(text), '\\b{pat}\\b'))"
+)
+_LANG_PATS = {
+    "en": "(the|and|of|to|is)",
+    "de": "(der|die|das|und|ist)",
+    "fr": "(le|la|les|et|est)",
+    "es": "(el|los|las|y|es)",
+    "zh": "(de|shi|le|zai|he)",
+}
+_LANGID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(
+        _LANG_SCORE.format(pat=p) + f" AS score_{l}"
+        for l, p in sorted(_LANG_PATS.items())
+    )
+    + " FROM documents), m AS (SELECT *, greatest(score_de, score_en,"
+    " score_es, score_fr, score_zh) AS best FROM s) SELECT doc_id,"
+    " score_de, score_en, score_es, score_fr, score_zh, CASE WHEN best = 0"
+    " THEN 'und' WHEN score_de = best THEN 'de' WHEN score_en = best THEN"
+    " 'en' WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'"
+    " ELSE 'zh' END AS lang_pred FROM m"
+)
+
+_FINGERPRINT_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+  FROM w
+), sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx
+)
+SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+_NGRAM_PAIRS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS ws
+  FROM documents WHERE doc_id < 400
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE c / (sa.n + sb.n - c) >= 0.2
+"""
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
+        FROM documents WHERE doc_id < 400)
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+), votes AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+""".format(
+    sums=", ".join(
+        f"sum(((hv >> {b}) % 2) * 2 - 1) AS s{b}" for b in range(16)
+    ),
+    sig=" + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+    ),
+)
+
+# cosine via explicit sequential folds — bit-identical to the Spark
+# side's aggregate(zip_with(...)) (same op order, same double promotion)
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * v), "
+    "(x, y) -> x + y))"
+)
+_EMB_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.qv', b='e.embedding')}
+           / ({_NORM_SQL.format(a='q.qv')} * {_NORM_SQL.format(a='e.embedding')})
+           AS cos
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_EVENTS_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), f AS (
+  SELECT user_id,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM g
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM f GROUP BY user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": TPCH_TRIPLES_SQL,
+        "kg_edges": TPCH_EDGES_SQL,
+        "kg_vertices": f"""{_EDGES_CTE}
+            SELECT name, FALSE AS is_predicate FROM (
+              SELECT DISTINCT src AS name FROM edges
+              UNION SELECT DISTINCT dst FROM edges)
+            UNION ALL
+            SELECT DISTINCT pred AS name, TRUE AS is_predicate FROM edges
+        """,
+        "kg_hops_customers": f"""{_EDGES_CTE}
+            SELECT * FROM edges WHERE src LIKE 'c:%'
+        """,
+        "kg_hops_reverse_nations": f"""{_EDGES_CTE}
+            SELECT dst AS node, pred, src AS parent FROM edges
+            WHERE dst LIKE 'n:%'
+        """,
+        "kg_bfs_depth2": f"""{_EDGES_CTE}
+            SELECT e1.src AS entity,
+                   e1.src || '->' || e1.pred || '->' || e1.dst || '->' ||
+                   e2.pred || '->' || e2.dst AS walk_str
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            WHERE e1.src LIKE 'c:%'
+        """,
+        "kg_existence": f"""{_EDGES_CTE},
+            names AS (SELECT DISTINCT src AS name FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            probe AS (SELECT DISTINCT src AS name FROM edges WHERE src LIKE 'c:%'
+                      UNION ALL SELECT 'c:-1' UNION ALL SELECT 'ghost:99')
+            SELECT p.name FROM probe p LEFT JOIN names n USING (name)
+            WHERE n.name IS NULL
+        """,
+        "kg_literal_chain": f"""{_EDGES_CTE}
+            SELECT DISTINCT e1.src AS entity, e2.dst AS value
+            FROM edges e1 JOIN edges e2
+              ON e1.dst = e2.src AND e2.pred = 'has_name'
+            WHERE e1.src LIKE 'c:%' AND e1.pred = 'in_nation'
+        """,
+        "sampler_objfreq": f"""{_EDGES_CTE}
+            SELECT dst, count(*) AS weight FROM edges GROUP BY dst
+        """,
+        "sampler_predfreq": f"""{_EDGES_CTE}
+            SELECT pred, count(*) AS weight FROM edges GROUP BY pred
+        """,
+        "sampler_objpredfreq": f"""{_EDGES_CTE}
+            SELECT pred, dst, count(*) AS weight FROM edges GROUP BY pred, dst
+        """,
+        "sampler_wide": f"""{_EDGES_CTE},
+            outdeg AS (SELECT src, count(*) AS nc FROM edges GROUP BY src),
+            predcnt AS (SELECT pred, count(*) AS pd FROM edges GROUP BY pred)
+            SELECT e.src, e.pred, e.dst,
+                   round((1.0 + coalesce(o.nc, 0)) * ((p.pd + 1.0) / 2.0), 4)
+                     AS weight
+            FROM edges e
+            LEFT JOIN outdeg o ON o.src = e.dst
+            JOIN predcnt p ON p.pred = e.pred
+        """,
+        "sampler_norm_objfreq": f"""{_EDGES_CTE},
+            w AS (SELECT dst, count(*) AS wt FROM edges GROUP BY dst)
+            SELECT e.src, e.pred, e.dst,
+                   round(w.wt / sum(w.wt) OVER (PARTITION BY e.src), 6)
+                     AS norm_weight
+            FROM edges e JOIN w ON w.dst = e.dst
+        """,
+        "split_degrees": f"""{_EDGES_CTE},
+            names AS (SELECT DISTINCT src AS name FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            indeg AS (SELECT dst AS name, count(*) AS deg
+                      FROM edges GROUP BY dst)
+            SELECT n.name, coalesce(i.deg, 0) AS deg
+            FROM names n LEFT JOIN indeg i USING (name)
+        """,
+        "text_token_stats": _TOKSTATS_SQL,
+        "text_quality": _QUALITY_SQL,
+        "text_langid": _LANGID_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "embed_topk": _EMB_TOPK_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_sessionize": _EVENTS_SESSION_SQL,
+        # pagerank / walks_dfs_sampled / wl_labels_n1 / dedup_minhash_pairs /
+        # dedup_simhash_pairs / embed_ivf_topk / embed_neardup /
+        # multimodal_features / transcript_triples: iterative, RNG-based,
+        # Python-repr, or approx operators — rows-only checks by design.
+    }

@@ -1,0 +1,137 @@
+"""Benchmark harness. Runs the engine's headline operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports turns/sec for the transcript pipeline (the BASELINE.md
+walk-corpus throughput metric). Scaling evidence (local[8] vs local[32])
+is produced by tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from pyrdf2vec_spark.embed import SparkWord2Vec
+from pyrdf2vec_spark.extract import extract_triples, triples_only
+from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.samplers import pagerank
+from pyrdf2vec_spark.session import get_spark
+from pyrdf2vec_spark.sources.tpch_graph import load_tables, tpch_triples
+from pyrdf2vec_spark.sources.transcripts import synth_transcripts
+from pyrdf2vec_spark.walks import bfs_walks, canonicalize_walks, sampled_walks
+
+SF_CONVS = {"0.001": 200, "0.01": 2000, "0.1": 20000}
+TURNS = 10
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_convs = SF_CONVS.get(sf, 2000)
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # q1: transcript pipeline — synth → extract → distinct triples
+    # (throughput metric: turns/sec end-to-end)
+    def q1():
+        tr = synth_transcripts(spark, n_convs, TURNS, seed=42)
+        return triples_only(extract_triples(tr)).count()
+
+    n_triples = timed("q1_transcript_extract", q1)
+    extras["turns_per_sec"] = round(
+        n_convs * TURNS / timings["q1_transcript_extract"], 1
+    )
+    extras["n_triples"] = n_triples
+
+    # shared KG for the graph queries
+    kg = SparkKG(tpch_triples(load_tables(spark, sf_dir)))
+    kg.edges.count()  # materialize the cache outside the timings
+
+    # q2: BFS depth-2 walk corpus + md5 canonicalization from customers
+    def q2():
+        seeds = kg.entity_names().where(F.col("name").startswith("c:"))
+        walks = canonicalize_walks(
+            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True
+        )
+        return walks.count()
+
+    n_walks = timed("q2_bfs_walks_depth2", q2)
+    extras["n_walks"] = n_walks
+
+    # q3: weighted DFS sampling (objfreq), 4 walks × depth 3 per order
+    def q3():
+        seeds = kg.entity_names().where(F.col("name").startswith("o:")).limit(
+            20000
+        )
+        return sampled_walks(
+            kg, seeds, 3, 4, sampler="objfreq", seed=42
+        ).count()
+
+    timed("q3_dfs_sampled_walks", q3)
+
+    # q4: Word2Vec fit over the q2 corpus
+    def q4():
+        seeds = kg.entity_names().where(F.col("name").startswith("c:"))
+        walks = canonicalize_walks(
+            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True
+        )
+        w2v = SparkWord2Vec(vector_size=32, seed=42).fit(walks)
+        return w2v.vectors().count()
+
+    timed("q4_word2vec_fit", q4)
+
+    # q5: PageRank over the entity graph (20 iterations)
+    timed("q5_pagerank", lambda: pagerank(kg, max_iter=20).count())
+
+    # q6: MinHash-LSH dedup pairs over documents
+    def q6():
+        from pyrdf2vec_spark.functions.dedup import minhash_dedup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_dedup_pairs(docs, jaccard_threshold=0.5).count()
+
+    timed("q6_minhash_dedup", q6)
+
+    # q7: brute-force cosine top-k over embeddings
+    def q7():
+        from pyrdf2vec_spark.functions.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return brute_force_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count()
+
+    timed("q7_embed_topk", q7)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": extras,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k (query-set × corpus join, sequential
+fold dot product — bit-identical to DuckDB's list_cosine_similarity for
+oracle parity). Scale path: IVF-style coarse quantization — assign every
+vector to its nearest of C centroids (deterministic seeded sample), then
+search only the probe-nearest cells: turns the O(Q×N) join into
+O(Q×N×probes/C) with the centroid table broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+_NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x))"
+
+
+def _cosine(a: str, b: str):
+    return F.expr(_DOT.format(a=a, b=b)) / (
+        F.expr(_NORM.format(a=a)) * F.expr(_NORM.format(a=b))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector. The query side is small by
+    assumption → broadcast; corpus side streams. Ties broken by
+    neighbor id (stable, engine-independent)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qv", "cv"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the vectors whose ids hash into
+    the first n_centroids slots (cheap, seedless k-means-free choice —
+    one Lloyd round could refine later; ANN quality, not exactness,
+    is the contract)."""
+    win = Window.orderBy(F.md5(F.col("cid").cast("string")))
+    return (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= n_centroids)
+        .select((F.col("rn") - 1).alias("centroid_id"), "centroid")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (broadcast join +
+    min_by aggregation — one narrow shuffle)."""
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = e.join(F.broadcast(centroids)).withColumn(
+        "sim", _cosine("v", "centroid")
+    )
+    return joined.groupBy("id").agg(
+        F.max_by("centroid_id", F.struct(F.col("sim"), -F.col("centroid_id"))).alias(
+            "centroid_id"
+        ),
+        F.first("v").alias("v"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: per query, rank centroids by cosine, keep
+    n_probes cells, search only vectors assigned there. Recall grows
+    with n_probes; n_probes == n_centroids degenerates to exact."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col).persist()
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_win = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cents))
+        .withColumn("csim", _cosine("qv", "centroid"))
+        .withColumn("prank", F.row_number().over(probe_win))
+        .where(F.col("prank") <= n_probes)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        probes.join(assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("id"))
+        .withColumn("cosine", _cosine("qv", "v"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
