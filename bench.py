@@ -67,7 +67,8 @@ def main():
     def q2():
         seeds = kg.entity_names().where(F.col("name").startswith("c:"))
         walks = canonicalize_walks(
-            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True
+            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True,
+            assume_distinct=True,
         )
         return walks.count()
 
@@ -89,7 +90,8 @@ def main():
     def q4():
         seeds = kg.entity_names().where(F.col("name").startswith("c:"))
         walks = canonicalize_walks(
-            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True
+            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True,
+            assume_distinct=True,
         )
         w2v = SparkWord2Vec(vector_size=32, seed=42).fit(walks)
         return w2v.vectors().count()

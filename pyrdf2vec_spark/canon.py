@@ -33,6 +33,58 @@ def _shingle_col(col: str, n: int):
     )
 
 
+# Mersenne prime 2^31-1: universal-hash modulus for min-hash permutations
+# (31-bit operands keep a·x within int64 — no overflow under ANSI mode)
+_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_k(x) = (a·(x mod P) + b) mod P."""
+    import hashlib as _hl
+
+    out = []
+    for k in range(num_hashes):
+        d = _hl.md5(f"minhash|{seed}|{k}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (_P - 1)) + 1
+        b = int(d[8:16], 16) % _P
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(
+    surfaces: DataFrame, col: str = "name", n: int = 3
+) -> DataFrame:
+    """(name, h): one 60-bit integer hash per distinct char n-gram
+    shingle of the normalized surface. ONE md5 per shingle — the k
+    min-hash permutations are integer universal hashes over ``h``."""
+    return (
+        surfaces.select(F.col(col).alias("name"))
+        .distinct()
+        .select("name", F.explode(_shingle_col("name", n)).alias("s"))
+        .select(
+            "name",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    hashes: DataFrame, num_hashes: int = 12, seed: int = 42
+) -> DataFrame:
+    """One aggregation computes every permutation's min: (name, h0..hk)."""
+    params = _hash_params(num_hashes, seed)
+    hp = F.pmod(F.col("h"), F.lit(_P))
+    return hashes.groupBy("name").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * hp + F.lit(b), F.lit(_P))).alias(f"h{k}")
+            for k, (a, b) in enumerate(params)
+        ]
+    )
+
+
 def minhash_bands(
     surfaces: DataFrame,
     col: str = "name",
@@ -40,40 +92,27 @@ def minhash_bands(
     num_hashes: int = 12,
     band_size: int = 2,
 ) -> DataFrame:
-    """(name, band_idx, band_sig): per band, the concatenation of
-    band_size min-hashes, where min-hash h_k(S) = min over shingles of
-    md5(k ‖ shingle). Lexicographic min of salted md5 hex = a valid
-    permutation min-hash; identical in any engine with md5."""
-    sh = surfaces.select(F.col(col).alias("name")).distinct().withColumn(
-        "shingles", _shingle_col("name", n)
-    )
-    minhashes = sh.select(
-        "name",
-        F.array(
-            *[
-                F.array_min(
-                    F.expr(f"transform(shingles, s -> md5(concat('{k}|', s)))")
-                ).alias(f"h{k}")
-                for k in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
+    """(name, band_idx, band_sig): per band, the concatenated min-hashes
+    of ``band_size`` permutations — the LSH bucketing key."""
+    sigs = minhash_signatures(shingle_hashes(surfaces, col, n), num_hashes)
     n_bands = num_hashes // band_size
-    bands = minhashes.select(
+    return sigs.select(
         "name",
         F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
-                        "",
-                        *[F.col("sig")[b * band_size + j] for j in range(band_size)],
+                        "|",
+                        *[
+                            F.col(f"h{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_sig"),
     )
-    return bands
 
 
 def candidate_pairs(
@@ -85,12 +124,51 @@ def candidate_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
 ) -> DataFrame:
-    """LSH-blocked candidate pairs verified by exact shingle Jaccard.
+    """LSH-blocked candidate pairs over char n-gram shingles, verified
+    by exact shingle Jaccard (entity-surface-form flavor; for documents
+    use word shingles via lsh_pairs + a word-shingle hash table)."""
+    return lsh_pairs(
+        shingle_hashes(surfaces, col, n),
+        num_hashes=num_hashes,
+        band_size=band_size,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
 
-    Buckets larger than ``max_bucket`` are dropped (stop-surface guard —
-    the skew/garbage-collision safety valve at scale; dropped mass is a
-    recall tradeoff logged by the caller)."""
-    bands = minhash_bands(surfaces, col, n, num_hashes, band_size)
+
+def lsh_pairs(
+    shingle_hash_df: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH blocking + exact-Jaccard verify over ANY
+    (name, h:bigint) shingle-hash table.
+
+    Shape at scale: shingle hashes are computed ONCE and persisted; the
+    band self-join never goes quadratic (buckets above ``max_bucket``
+    are dropped — skew/garbage-collision safety valve); verification is
+    a pair-driven posting-list join on integer hashes, not an
+    array-carrying shuffle."""
+    hashes = shingle_hash_df.persist()
+    sizes = hashes.groupBy("name").agg(F.count("*").alias("n_sh"))
+    sigs = minhash_signatures(hashes, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "name",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * band_size + j}") for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
     ).where(F.col("bucket_n") <= max_bucket)
@@ -101,22 +179,30 @@ def candidate_pairs(
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .persist()
     )
-    sh = surfaces.select(F.col(col).alias("name")).distinct().withColumn(
-        "shingles", _shingle_col("name", n)
+    pairs.count()  # materialize before the fan-out join
+    # exact Jaccard: |A∩B| via (pair × a-shingles) probe into b's set
+    common = (
+        pairs.join(hashes.withColumnRenamed("name", "a"), "a")
+        .join(hashes.withColumnRenamed("name", "b"), ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
     )
     verified = (
-        pairs.join(sh.withColumnRenamed("name", "a").withColumnRenamed("shingles", "sa"), "a")
-        .join(sh.withColumnRenamed("name", "b").withColumnRenamed("shingles", "sb"), "b")
+        common.join(sizes.withColumnRenamed("name", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("name", "b").withColumnRenamed("n_sh", "nb"), "b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sa", "sb"))
-            / F.size(F.array_union("sa", "sb")),
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
-    return verified
+    out = verified.localCheckpoint(eager=True)
+    hashes.unpersist()
+    pairs.unpersist()
+    return out
 
 
 def connected_components(

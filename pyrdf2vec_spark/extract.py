@@ -45,23 +45,57 @@ def link_surface(surface: str) -> tuple[str, float]:
     return norm, min(1.0, len(norm) / max(1, len(s)))
 
 
+def _link_series(surfaces: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized link_surface over a Series (C-level regex ops)."""
+    s = surfaces.str.strip().str.lower()
+    m = s.str.extract(_KEY)
+    matched = m[0].notna()
+    canon = pd.Series(index=s.index, dtype=object)
+    canon[matched] = m.loc[matched, 0] + "_" + m.loc[matched, 1].astype(int).astype(str)
+    fallback = s[~matched].str.replace(_NORM, "_", regex=True).str.strip("_")
+    canon[~matched] = fallback
+    score = pd.Series(1.0, index=s.index)
+    if (~matched).any():
+        ratio = (
+            fallback.str.len() / s[~matched].str.len().clip(lower=1)
+        ).clip(upper=1.0)
+        score[~matched] = ratio
+    return canon, score
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for conv_id, turn_idx, text in zip(
-        pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(), pdf["text"].to_numpy()
-    ):
-        for pat, pred in PATTERNS:
-            for m in pat.finditer(text):
-                subj, s_score = link_surface(m.group(1))
-                obj, o_score = link_surface(m.group(2))
-                rows.append(
-                    (conv_id, int(turn_idx), subj, pred, obj,
-                     float(min(s_score, o_score)))
-                )
-    return pd.DataFrame(
-        rows,
-        columns=["conv_id", "turn_idx", "subj", "pred", "obj", "score"],
-    )
+    """Vectorized mention detection: one C-regex extract per pattern
+    over the whole batch (each template plants ≤1 mention per turn),
+    then vectorized linking. Semantics match the row-wise
+    link_surface/PATTERNS spec (tested differentially)."""
+    outs = []
+    text = pdf["text"]
+    for pat, pred in PATTERNS:
+        m = text.str.extract(pat)
+        hit = m[0].notna()
+        if not hit.any():
+            continue
+        subj, s_score = _link_series(m.loc[hit, 0])
+        obj, o_score = _link_series(m.loc[hit, 1])
+        outs.append(
+            pd.DataFrame(
+                {
+                    "conv_id": pdf.loc[hit, "conv_id"].to_numpy(),
+                    "turn_idx": pdf.loc[hit, "turn_idx"].to_numpy(),
+                    "subj": subj.to_numpy(),
+                    "pred": pred,
+                    "obj": obj.to_numpy(),
+                    "score": pd.concat([s_score, o_score], axis=1)
+                    .min(axis=1)
+                    .to_numpy(),
+                }
+            )
+        )
+    if not outs:
+        return pd.DataFrame(
+            columns=["conv_id", "turn_idx", "subj", "pred", "obj", "score"]
+        )
+    return pd.concat(outs, ignore_index=True)
 
 
 def extract_triples(

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from pyrdf2vec_spark.canon import candidate_pairs
-
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text): one hash aggregation.
@@ -72,13 +70,38 @@ def minhash_dedup_pairs(
     num_hashes: int = 12,
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
+    shingle_words: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup blocking over document texts — reuses the
-    canonicalization LSH core (salted-md5 min-hash, band-bucket join,
-    exact-Jaccard verify) with the whole text as the surface."""
-    surfaces = documents.select(F.col("text").alias("name")).distinct()
-    pairs = candidate_pairs(
-        surfaces,
+    """MinHash+LSH near-dup blocking over document texts — the
+    canonicalization LSH core (integer min-hash permutations,
+    band-bucket join, exact-Jaccard verify) over WORD k-gram shingles
+    (char n-grams are the right unit for short surface forms, word
+    k-grams for documents — far more discriminative)."""
+    from pyrdf2vec_spark.canon import lsh_pairs
+
+    word_hashes = (
+        documents.select(F.col("text").alias("name"))
+        .distinct()
+        .select(
+            "name",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, greatest(1, "
+                    f"size(split(trim(lower(name)), ' +')) - {shingle_words - 1})), "
+                    f"i -> array_join(slice(split(trim(lower(name)), ' +'), i, {shingle_words}), ' ')))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "name",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    pairs = lsh_pairs(
+        word_hashes,
         num_hashes=num_hashes,
         band_size=band_size,
         jaccard_threshold=jaccard_threshold,

@@ -66,6 +66,12 @@ class SparkKG:
         """Deduplicated (src, pred, dst) edge table."""
         return self._edges
 
+    def edge_count(self) -> int:
+        """Cached edge count (drives broadcast-vs-shuffle decisions)."""
+        if getattr(self, "_edge_count", None) is None:
+            self._edge_count = self._edges.count()
+        return self._edge_count
+
     def vertices(self) -> DataFrame:
         """All vertices with entity/predicate classification.
 

@@ -169,7 +169,12 @@ class RDF2VecPipeline:
                 seed=self.seed,
             )
             ents = [r[0] for r in entities.select(entities.columns[0]).collect()]
-            return canonicalize_walks(raw, ents, self.md5_bytes)
+            # BFS output is already a distinct set; only sampled DFS
+            # walks carry genuine duplicates needing the dedup shuffle
+            return canonicalize_walks(
+                raw, ents, self.md5_bytes,
+                assume_distinct=self.max_walks is None,
+            )
 
         self.walks_ = self._stage(spark, "walks", fp, build)
         return self.walks_

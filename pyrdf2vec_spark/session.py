@@ -74,7 +74,18 @@ def get_spark(
         # Walk tables carry long array<string> columns; compress shuffles.
         .config("spark.shuffle.compress", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver JVM hosts all executor threads — size it for
+        # the thread count or 32 threads thrash GC in a small heap
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill to tmpfs when available: removes disk I/O from the
+        # multicore scaling path (a real cluster has per-executor disks)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # UTC everywhere: timestamp semantics identical across engines

@@ -35,10 +35,10 @@ N_CITIES = 30
 EPOCH = pd.Timestamp("2024-01-01 00:00:00")
 
 
-def _h(*parts: object) -> int:
-    """Engine-independent deterministic hash → non-negative int."""
-    key = "|".join(str(p) for p in parts)
-    return int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+def _digest(conv_id: str, turn: int, seed: int) -> bytes:
+    """ONE md5 digest per turn; every derived field reads disjoint byte
+    slices of it. Engine-independent and cheap (1 hash vs 7)."""
+    return hashlib.md5(f"{conv_id}|{turn}|{seed}".encode()).digest()
 
 
 def _surface(kind: str, idx: int, variant: int) -> str:
@@ -70,28 +70,28 @@ TEMPLATES = (
 )
 
 
-def _turn_fields(conv: int, turn: int, seed: int) -> tuple:
-    """All derived fields for one (conv, turn). Shared by the Spark and
-    pandas paths — the single source of truth for text equality."""
+def _turn_fields(conv: int, turn: int, seed: int, vocab: tuple | None = None) -> tuple:
+    """All derived fields for one (conv, turn) — the row-wise SPEC that
+    the vectorized batch path must match byte-for-byte (tested).
+    ``vocab`` = (n_persons, n_orgs, n_cities); None → module defaults."""
+    n_p, n_o, n_c = vocab or (N_PERSONS, N_ORGS, N_CITIES)
     conv_id = f"conv{conv:08d}"
-    role = ROLES[2] if _h(conv_id, turn, "tool?", seed) % 5 == 4 else ROLES[turn % 2]
-    tmpl_i = _h(conv_id, turn, "tmpl", seed) % len(TEMPLATES)
+    d = _digest(conv_id, turn, seed)
+    role = ROLES[2] if d[0] % 5 == 4 else ROLES[turn % 2]
+    tmpl_i = d[1] % len(TEMPLATES)
     tmpl, skind, pred, okind = TEMPLATES[tmpl_i]
-    if role == "tool":
-        tool = TOOLS[_h(conv_id, turn, "tool", seed) % len(TOOLS)]
-    else:
-        tool = ""
+    tool = TOOLS[d[2] % len(TOOLS)] if role == "tool" else ""
     if skind is None:
         text = tmpl
         triple = None
     else:
-        sizes = {"person": N_PERSONS, "org": N_ORGS, "city": N_CITIES}
-        si = _h(conv_id, turn, "s", seed) % sizes[skind]
-        oi = _h(conv_id, turn, "o", seed) % sizes[okind]
+        sizes = {"person": n_p, "org": n_o, "city": n_c}
+        si = int.from_bytes(d[3:6], "big") % sizes[skind]
+        oi = int.from_bytes(d[6:9], "big") % sizes[okind]
         if skind == okind and oi == si:
             oi = (oi + 1) % sizes[okind]
-        sv = _h(conv_id, turn, "sv", seed) % 3
-        ov = _h(conv_id, turn, "ov", seed) % 3
+        sv = d[9] % 3
+        ov = d[10] % 3
         text = tmpl.format(
             A=_surface(skind, si, sv), B=_surface(okind, oi, ov)
         )
@@ -102,11 +102,107 @@ def _turn_fields(conv: int, turn: int, seed: int) -> tuple:
     return conv_id, turn, role, text, tool, ts, triple
 
 
-def _gen_batch(ids: pd.Series, turns_per_conv: int, seed: int) -> pd.DataFrame:
+def _gen_batch(
+    ids: pd.Series, turns_per_conv: int, seed: int, vocab: tuple | None = None
+) -> pd.DataFrame:
+    """Vectorized batch renderer of the _turn_fields spec: one md5 per
+    turn, then numpy byte-slice arithmetic + numpy.select string
+    assembly. ~10x the row-wise path; identical output (tested)."""
+    import numpy as np
+
+    n_p, n_o, n_c = vocab or (N_PERSONS, N_ORGS, N_CITIES)
+    gids = np.asarray(ids, dtype=np.int64)
+    conv = gids // turns_per_conv
+    turn = gids % turns_per_conv
+    conv_id = np.array([f"conv{c:08d}" for c in conv])
+    digs = b"".join(
+        hashlib.md5(f"{cid}|{t}|{seed}".encode()).digest()
+        for cid, t in zip(conv_id, turn)
+    )
+    d = np.frombuffer(digs, dtype=np.uint8).reshape(-1, 16).astype(np.int64)
+    is_tool = (d[:, 0] % 5) == 4
+    role = np.where(is_tool, "tool", np.where(turn % 2 == 0, "user", "assistant"))
+    tmpl_i = d[:, 1] % len(TEMPLATES)
+    tool = np.where(is_tool, np.array(TOOLS)[d[:, 2] % len(TOOLS)], "")
+    si_raw = (d[:, 3] << 16) | (d[:, 4] << 8) | d[:, 5]
+    oi_raw = (d[:, 6] << 16) | (d[:, 7] << 8) | d[:, 8]
+    sv = d[:, 9] % 3
+    ov = d[:, 10] % 3
+
+    sizes = {"person": n_p, "org": n_o, "city": n_c}
+
+    def surf(kind_arr, idx_arr, var_arr):
+        out = np.empty(len(idx_arr), dtype=object)
+        for kind in ("person", "org", "city"):
+            m = kind_arr == kind
+            if not m.any():
+                continue
+            k = kind.capitalize()
+            idx = idx_arr[m].astype(str)
+            v0 = np.char.add(f"{k}_", idx)
+            v1 = np.char.add(f"{kind} ", idx)
+            v2 = np.char.add(f"{kind.upper()}-", idx)
+            out[m] = np.select(
+                [var_arr[m] == 0, var_arr[m] == 1], [v0, v1], v2
+            )
+        return out
+
+    skind = np.array([TEMPLATES[i][1] or "" for i in range(len(TEMPLATES))])[tmpl_i]
+    okind = np.array([TEMPLATES[i][3] or "" for i in range(len(TEMPLATES))])[tmpl_i]
+    size_s = np.array([sizes.get(TEMPLATES[i][1], 1) for i in range(len(TEMPLATES))])[tmpl_i]
+    size_o = np.array([sizes.get(TEMPLATES[i][3], 1) for i in range(len(TEMPLATES))])[tmpl_i]
+    si = si_raw % size_s
+    oi = oi_raw % size_o
+    same = (skind == okind) & (skind != "") & (si == oi)
+    oi = np.where(same, (oi + 1) % size_o, oi)
+
+    has_ent = skind != ""
+    a_surf = np.where(has_ent, surf(skind, si, sv), "")
+    b_surf = np.where(has_ent, surf(okind, oi, ov), "")
+    prefix = np.array(
+        ["" for _ in range(len(TEMPLATES))], dtype=object
+    )
+    # template text assembly: split each template at {A}/{B}
+    t_parts = []
+    for tmpl, sk, _, _ in TEMPLATES:
+        if sk is None:
+            t_parts.append((tmpl, "", ""))
+        else:
+            pre, rest = tmpl.split("{A}")
+            mid, post = rest.split("{B}")
+            t_parts.append((pre, mid, post))
+    pre = np.array([p[0] for p in t_parts], dtype=object)[tmpl_i]
+    mid = np.array([p[1] for p in t_parts], dtype=object)[tmpl_i]
+    post = np.array([p[2] for p in t_parts], dtype=object)[tmpl_i]
+    text = pre + a_surf + mid + b_surf + post
+    text = np.where(
+        is_tool, "[" + tool.astype(object) + "] " + text, text
+    )
+    _ = prefix
+    ts = EPOCH + pd.to_timedelta(conv * 97 + turn * 13, unit="s")
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn.astype("int64"),
+            "role": role,
+            "text": text.astype(str),
+            "tool": tool.astype(str),
+            "ts": ts,
+        }
+    )
+
+
+def _gen_batch_rowwise(
+    ids: pd.Series, turns_per_conv: int, seed: int, vocab: tuple | None = None
+) -> pd.DataFrame:
+    """Row-wise rendering of the spec — kept as the differential oracle
+    for the vectorized _gen_batch (tests assert frame equality)."""
     rows = []
     for gid in ids:
         conv, turn = divmod(int(gid), turns_per_conv)
-        conv_id, turn_idx, role, text, tool, ts, _ = _turn_fields(conv, turn, seed)
+        conv_id, turn_idx, role, text, tool, ts, _ = _turn_fields(
+            conv, turn, seed, vocab
+        )
         rows.append((conv_id, turn_idx, role, text, tool, ts))
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -119,6 +215,7 @@ def synth_transcripts(
     turns_per_conv: int = 10,
     seed: int = 42,
     partitions: int | None = None,
+    vocab: tuple | None = None,
 ) -> DataFrame:
     """Distributed transcript synthesis: spark.range fans the id space
     across executors; an Arrow-batched mapInPandas materializes rows.
@@ -128,7 +225,7 @@ def synth_transcripts(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _gen_batch(pdf["id"], turns_per_conv, seed)
+            out = _gen_batch(pdf["id"], turns_per_conv, seed, vocab)
             out["turn_idx"] = out["turn_idx"].astype("int32")
             yield out
 
@@ -136,25 +233,41 @@ def synth_transcripts(
 
 
 def reference_transcripts(
-    n_conversations: int, turns_per_conv: int = 10, seed: int = 42
+    n_conversations: int,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    vocab: tuple | None = None,
 ) -> pd.DataFrame:
     """Single-process pandas rendering of the same id space — the oracle
     for the per-turn text-equality invariant (BASELINE.json input_hint)."""
     ids = pd.Series(range(n_conversations * turns_per_conv))
-    return _gen_batch(ids, turns_per_conv, seed)
+    return _gen_batch(ids, turns_per_conv, seed, vocab)
 
 
 def ground_truth_triples(
-    n_conversations: int, turns_per_conv: int = 10, seed: int = 42
+    n_conversations: int,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    vocab: tuple | None = None,
 ) -> pd.DataFrame:
     """Planted (conv_id, turn_idx, subj, pred, obj) triples — the exact
     expected extraction output, for P/R computation."""
     rows = []
     for gid in range(n_conversations * turns_per_conv):
         conv, turn = divmod(gid, turns_per_conv)
-        conv_id, turn_idx, _, _, _, _, triple = _turn_fields(conv, turn, seed)
+        conv_id, turn_idx, _, _, _, _, triple = _turn_fields(
+            conv, turn, seed, vocab
+        )
         if triple is not None:
             rows.append((conv_id, turn_idx, *triple))
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
     )
+
+
+def scaled_vocab(n_conversations: int) -> tuple:
+    """Entity-vocabulary sizes that grow with the corpus (≈1 person per
+    4 conversations) so the synthetic KG stays sparse at every scale —
+    matching how real entity populations grow with transcript volume."""
+    n_p = max(200, n_conversations // 4)
+    return (n_p, max(50, n_p // 4), max(30, n_p // 8))

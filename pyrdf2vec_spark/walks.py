@@ -28,6 +28,20 @@ from pyrdf2vec_spark.samplers import edge_weights, normalize_hop_weights
 
 CHECKPOINT_EVERY = 4  # truncate join-loop lineage every k depths
 
+# explicit broadcast of the edge side of the BFS join below this many
+# edges — a pinned plan beats AQE flip-flopping around the size
+# threshold; above it, shuffle join + AQE skew splitting take over
+BROADCAST_EDGE_LIMIT = 8_000_000
+
+
+def _edge_side(kg: SparkKG, df: DataFrame) -> DataFrame:
+    try:
+        if kg.edge_count() <= BROADCAST_EDGE_LIMIT:
+            return F.broadcast(df)
+    except Exception:
+        pass
+    return df
+
 
 def _seeds(entities: DataFrame) -> DataFrame:
     return entities.select(F.col(entities.columns[0]).alias("entity")).distinct()
@@ -56,7 +70,7 @@ def bfs_walks(
         "entity", F.array(F.col("entity")).alias("walk")
     )
     finished: DataFrame | None = None
-    e = kg.edges
+    e = _edge_side(kg, kg.edges)
     for depth in range(max_depth):
         if is_reverse:
             key = F.element_at(F.col("walk"), 1)
@@ -78,7 +92,11 @@ def bfs_walks(
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
     out = walks if finished is None else finished.unionByName(walks)
-    return out.dropDuplicates(["entity", "walk"])
+    # no dedup shuffle needed: seeds and edges are distinct, so each
+    # extension is unique per (walk, edge), and frozen dead-end walks
+    # differ from longer survivors by length — the reference's set
+    # semantics (random.py:67-81) hold by construction
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -249,11 +267,89 @@ def _md5_repr(name: str, md5_bytes: int) -> str:
     return str(hashlib.md5(name.encode()).digest()[:md5_bytes])
 
 
+def _md5_repr_sql(expr: str, md5_bytes: int) -> str:
+    """SQL expression producing EXACTLY Python's str(md5(s).digest()[:k])
+    — the reference's token format (random.py:162-163) — fully inside
+    whole-stage codegen, no Python.
+
+    Python bytes-repr rules: \\t \\n \\r \\\\ escapes; quote style is
+    b'..' unless the bytes contain 0x27 and no 0x22, then b".."
+    (matching str repr); printable ASCII 32-126 literal; else \\xhh
+    lowercase. The digest is computed once and bound via a
+    single-element transform(array(..)) let-binding.
+    """
+    hexpair = "lpad(lower(hex(x)), 2, '0')"
+    common = (
+        "CASE WHEN x = 9 THEN '\\\\t' "
+        "WHEN x = 10 THEN '\\\\n' "
+        "WHEN x = 13 THEN '\\\\r' "
+        "WHEN x = 92 THEN '\\\\\\\\' "
+    )
+    # single-quote mode: escape 0x27
+    sq = (
+        common
+        + "WHEN x = 39 THEN '\\\\''' "
+        + "WHEN x BETWEEN 32 AND 126 THEN char(x) "
+        + f"ELSE concat('\\\\x', {hexpair}) END"
+    )
+    # double-quote mode: 0x27 literal (0x22 cannot occur in this mode)
+    dq = (
+        common
+        + "WHEN x BETWEEN 32 AND 126 THEN char(x) "
+        + f"ELSE concat('\\\\x', {hexpair}) END"
+    )
+    bytes_arr = (
+        f"transform(sequence(1, {md5_bytes}), "
+        "j -> cast(conv(hex(substring(bin, j, 1)), 16, 10) as int))"
+    )
+    body = (
+        "CASE WHEN array_contains(bs, 39) AND NOT array_contains(bs, 34) "
+        f"THEN concat('b\"', aggregate(bs, '', (acc, x) -> concat(acc, {dq})), '\"') "
+        f"ELSE concat('b''', aggregate(bs, '', (acc, x) -> concat(acc, {sq})), '''') END"
+    )
+    return (
+        f"transform(array(unhex(md5({expr}))), bin -> "
+        f"transform(array({bytes_arr}), bs -> {body})[0])[0]"
+    )
+
+
+def canonicalize_walks_sql(
+    walks: DataFrame,
+    entity_names: Iterable[str] | None = None,
+    md5_bytes: int = 8,
+    keep_root: bool = False,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Pure-Catalyst canonicalization (no Python in the hot path) —
+    valid when the seed set is small enough for an IN-list. Used
+    automatically by canonicalize_walks."""
+    ents = list(entity_names or [])
+    repr_expr = _md5_repr_sql("v", md5_bytes)
+    keep = "i % 2 = 1"
+    if keep_root:
+        keep += " OR i = 0"
+    if ents:
+        inlist = ", ".join("'" + e.replace("'", "''") + "'" for e in ents)
+        keep += f" OR v IN ({inlist})"
+    out = walks.select(
+        "entity",
+        F.expr(
+            f"transform(walk, (v, i) -> CASE WHEN {keep} THEN v "
+            f"ELSE {repr_expr} END)"
+        ).alias("walk"),
+    )
+    if assume_distinct:
+        return out
+    return out.dropDuplicates(["entity", "walk"])
+
+
 def canonicalize_walks(
     walks: DataFrame,
     entity_names: Iterable[str] | None = None,
     md5_bytes: int | None = 8,
     keep_root: bool = False,
+    assume_distinct: bool = False,
+    max_sql_entities: int = 512,
 ) -> DataFrame:
     """Map even-position non-seed vertices to md5-digest reprs; keep seed
     entities and predicates (odd positions) verbatim (random.py:142-163).
@@ -264,10 +360,23 @@ def canonicalize_walks(
     Python-bytes repr formatting is not expressible in Catalyst, so this
     is one of the engine's few sanctioned UDFs (SURVEY.md §2.7). A
     per-batch dict memoizes digests (vertex names repeat heavily).
+
+    ``assume_distinct=True`` skips the output dedup: the vertex mapping
+    is deterministic and injective up to md5 collisions, so
+    already-distinct raw walks (BFS output) stay distinct — saving a
+    full shuffle of the walk corpus. Leave False for DFS output, which
+    contains genuine duplicates by design (random.py:103-117).
     """
     if md5_bytes is None:
+        if assume_distinct:
+            return walks
         return walks.dropDuplicates(["entity", "walk"])
     ents = frozenset(entity_names or [])
+    if len(ents) <= max_sql_entities:
+        # small/empty seed set → stay JVM-side (whole-stage codegen)
+        return canonicalize_walks_sql(
+            walks, ents, md5_bytes, keep_root, assume_distinct
+        )
     nbytes = md5_bytes
     kroot = keep_root
 
@@ -291,9 +400,102 @@ def canonicalize_walks(
             ]
         )
 
-    return walks.select(
-        "entity", _canon(F.col("walk")).alias("walk")
-    ).dropDuplicates(["entity", "walk"])
+    out = walks.select("entity", _canon(F.col("walk")).alias("walk"))
+    if assume_distinct:
+        return out
+    return out.dropDuplicates(["entity", "walk"])
+
+
+def vertex_tokens(
+    kg: SparkKG,
+    entities: DataFrame | None = None,
+    md5_bytes: int = 8,
+) -> DataFrame:
+    """(name, token) for every entity vertex: the md5-digest repr, or
+    the verbatim name for seed entities (random.py:155-163 rule).
+    O(|V|) repr computations — each hub vertex hashed once, not once
+    per walk occurrence."""
+    names = kg.entity_names()
+    if entities is not None:
+        seeds = _seeds(entities).select(
+            F.col("entity").alias("name"), F.lit(True).alias("is_seed")
+        )
+        names = names.join(seeds, "name", "left")
+    else:
+        names = names.withColumn("is_seed", F.lit(False))
+    repr_expr = _md5_repr_sql("name", md5_bytes)
+    return names.select(
+        "name",
+        F.when(F.coalesce("is_seed", F.lit(False)), F.col("name"))
+        .otherwise(F.expr(repr_expr))
+        .alias("token"),
+    )
+
+
+def bfs_canonical_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    md5_bytes: int | None = 8,
+    keep_root: bool = True,
+    seed_entities: DataFrame | None = None,
+) -> DataFrame:
+    """Fused BFS + md5 canonicalization: walks are BUILT from
+    pre-canonicalized tokens, so the expensive repr runs once per
+    distinct vertex (token table joined onto the edge table once)
+    instead of once per walk element. Output ≡
+    canonicalize_walks(bfs_walks(...)) for the same seed rule
+    (differentially tested).
+
+    ``keep_root=True`` keeps position 0 verbatim (golden-corpus rule);
+    ``seed_entities`` marks additional names kept verbatim at even
+    positions (the reference's _entities set)."""
+    if md5_bytes is None:
+        return bfs_walks(kg, entities, max_depth)
+    toks = vertex_tokens(kg, seed_entities, md5_bytes)
+    e = kg.edges
+    edges_tok = _edge_side(
+        kg,
+        e.join(toks.withColumnRenamed("name", "dst"), "dst")
+        .withColumnRenamed("token", "dst_tok")
+        .select("src", "pred", "dst", "dst_tok")
+        .persist(),
+    )
+    root_tok = (
+        F.col("entity")
+        if keep_root
+        else F.coalesce(F.col("token"), F.col("entity"))
+    )
+    seeds = _seeds(entities)
+    if not keep_root:
+        seeds = seeds.join(
+            toks.withColumnRenamed("name", "entity"), "entity", "left"
+        )
+    walks = seeds.select(
+        "entity",
+        F.col("entity").alias("cur"),
+        F.array(root_tok).alias("walk"),
+    )
+    finished: DataFrame | None = None
+    for depth in range(max_depth):
+        joined = walks.join(
+            edges_tok, walks["cur"] == edges_tok["src"], "left"
+        )
+        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
+        finished = dead if finished is None else finished.unionByName(dead)
+        walks = joined.where(F.col("pred").isNotNull()).select(
+            "entity",
+            F.col("dst").alias("cur"),
+            F.concat(
+                F.col("walk"), F.array(F.col("pred"), F.col("dst_tok"))
+            ).alias("walk"),
+        )
+        if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
+            walks = walks.localCheckpoint(eager=False)
+    out = walks.select("entity", "walk")
+    if finished is not None:
+        out = finished.unionByName(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +583,12 @@ def ngram_walks(
             )
             work = work.unionByName(variants)
 
-    with_id = work.withColumn("wid", F.monotonically_increasing_id())
+    # pin the walk ids: monotonically_increasing_id depends on the
+    # physical partition layout, so both sides of the wid self-join
+    # below must read one materialized assignment, not recompute it
+    with_id = work.withColumn(
+        "wid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     pos = with_id.select(
         "entity", "wid", "walk", F.posexplode("walk").alias("i", "v")
     )
@@ -448,7 +655,11 @@ def halk_walks(
     """
     thresholds = freq_thresholds if freq_thresholds is not None else [0.01]
     spark = walks.sparkSession
-    w = walks.withColumn("wid", F.monotonically_increasing_id()).persist()
+    # pinned wid (see ngram_walks) + single materialization for the
+    # corpus-global support count and every per-threshold pass
+    w = walks.withColumn(
+        "wid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     total = w.count()
     support = (
         w.select(
@@ -494,7 +705,6 @@ def halk_walks(
         res = res.unionByName(o)
     res = res.dropDuplicates(["entity", "walk"])
     _ = spark  # session kept referenced for symmetry with other builders
-    w.unpersist()
     return res
 
 
@@ -615,7 +825,11 @@ def wl_walks(
     iters = entities.sparkSession.range(wl_iterations + 1).select(
         F.col("id").cast("int").alias("n")
     )
-    with_id = raw.withColumn("wid", F.monotonically_increasing_id())
+    # pinned for the same reason as in ngram_walks: wid must be stable
+    # across the posexplode/label-join/reassemble self-referencing plan
+    with_id = raw.withColumn(
+        "wid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     pos = with_id.crossJoin(iters).select(
         "entity", "wid", "n", F.posexplode("walk").alias("i", "v")
     )

@@ -58,6 +58,57 @@ class TestSynthesis:
             assert ts.is_monotonic_increasing
 
 
+class TestVectorizedPaths:
+    def test_gen_batch_matches_rowwise_spec(self):
+        import pandas as pd
+
+        from pyrdf2vec_spark.sources.transcripts import (
+            _gen_batch,
+            _gen_batch_rowwise,
+        )
+
+        ids = pd.Series(range(5000))
+        a = _gen_batch(ids, 10, 42)
+        b = _gen_batch_rowwise(ids, 10, 42)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_extract_batch_matches_rowwise_spec(self):
+        import pandas as pd
+
+        from pyrdf2vec_spark.extract import (
+            PATTERNS,
+            _extract_batch,
+            link_surface,
+        )
+        from pyrdf2vec_spark.sources.transcripts import _gen_batch
+
+        df = _gen_batch(pd.Series(range(3000)), 10, 42)
+        got = _extract_batch(df)
+        rows = []
+        for conv_id, turn_idx, text in zip(
+            df["conv_id"], df["turn_idx"], df["text"]
+        ):
+            for pat, pred in PATTERNS:
+                for m in pat.finditer(text):
+                    s, ss = link_surface(m.group(1))
+                    o, os_ = link_surface(m.group(2))
+                    rows.append(
+                        (conv_id, int(turn_idx), s, pred, o, float(min(ss, os_)))
+                    )
+        ref = pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "subj", "pred", "obj", "score"],
+        )
+        cols = list(ref.columns)
+        a = got.sort_values(cols).reset_index(drop=True)
+        a["turn_idx"] = a["turn_idx"].astype("int64")
+        b = ref.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 class TestLinking:
     def test_surface_variants_link_to_same_id(self):
         for s in ("Person_17", "person 17", "PERSON-17"):

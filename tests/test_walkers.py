@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from pyrdf2vec_spark.walks import (
     anonymous_walks,
+    bfs_canonical_walks,
     bfs_walks,
     canonicalize_walks,
     combine_with_reverse,
@@ -149,6 +150,34 @@ class TestCanonicalize:
         raw = bfs_walks(kg_loop, roots, 1)
         got = canonicalize_walks(raw, [], None)
         assert walks_set(got) == walks_set(raw)
+
+    def test_fused_bfs_canonical_equals_composition(self, kg_loop, kg_chain, roots):
+        # the O(|V|)-repr fused path must equal canonicalize(bfs(...))
+        for kg in (kg_loop, kg_chain):
+            fused = walks_set(
+                bfs_canonical_walks(kg, roots, 2, md5_bytes=8, keep_root=True)
+            )
+            composed = walks_set(
+                canonicalize_walks(
+                    bfs_walks(kg, roots, 2), [], 8, keep_root=True
+                )
+            )
+            assert fused == composed
+
+    def test_fused_with_seed_set(self, kg_loop, roots, spark):
+        seeds = spark.createDataFrame([(uri("Dean"),)], "name string")
+        fused = walks_set(
+            bfs_canonical_walks(
+                kg_loop, roots, 2, md5_bytes=8, keep_root=True,
+                seed_entities=seeds,
+            )
+        )
+        composed = walks_set(
+            canonicalize_walks(
+                bfs_walks(kg_loop, roots, 2), [uri("Dean")], 8, keep_root=True
+            )
+        )
+        assert fused == composed
 
     def test_hash_prefix_invariant(self, kg_chain, roots):
         # tests/walkers/test_random.py:110-113 — hashed objects repr

@@ -1,0 +1,57 @@
+"""The fixed scaling workload: transcripts → extraction → triples →
+KG → BFS depth-2 walk corpus. Identical input at any parallelism; the
+driver's two-cluster-size criterion is evidenced by running this at
+local[8] and local[32] (see tools/bench_scaling.py).
+
+Prints one JSON line with wall seconds and turns/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyrdf2vec_spark.extract import extract_triples, triples_only
+from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.session import get_spark
+from pyrdf2vec_spark.sources.transcripts import scaled_vocab, synth_transcripts
+from pyrdf2vec_spark.walks import bfs_canonical_walks
+
+
+def main():
+    n_convs = int(os.environ.get("SCALE_CONVS", "60000"))
+    turns = 10
+    spark = get_spark("scaling-job")
+    t_start = time.perf_counter()
+    tr = synth_transcripts(spark, n_convs, turns, seed=42, vocab=scaled_vocab(n_convs))
+    triples = triples_only(extract_triples(tr))
+    kg = SparkKG(triples, persist=True)
+    kg.edges.count()  # materialize extraction + graph build
+    t_extract = time.perf_counter()
+    seeds = kg.entity_names()
+    walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8)
+    n_walks = walks.count()
+    t_end = time.perf_counter()
+    wall = t_end - t_start
+    print(
+        json.dumps(
+            {
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "n_turns": n_convs * turns,
+                "n_walks": n_walks,
+                "extract_sec": round(t_extract - t_start, 2),
+                "walks_sec": round(t_end - t_extract, 2),
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(n_convs * turns / wall, 1),
+                "walks_per_sec": round(n_walks / (t_end - t_extract), 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
