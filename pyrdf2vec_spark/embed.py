@@ -13,9 +13,12 @@ parity, not numeric equality (SURVEY.md §5.4.2).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.ml.feature import Word2Vec as MLWord2Vec, Word2VecModel
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 class SparkWord2Vec:
@@ -90,3 +93,124 @@ class SparkWord2Vec:
     def load(self, spark_path: str) -> "SparkWord2Vec":
         self.model = Word2VecModel.load(spark_path)
         return self
+
+
+# ---------------------------------------------------------------------------
+# E3 — FastText-equivalent subword pooling (pyrdf2vec/embedders/fasttext.py)
+# ---------------------------------------------------------------------------
+def ft_hash_bytes(bytez: bytes) -> int:
+    """Exact replica of fasttext.py:201-215 ft_hash_bytes — FNV-1a with
+    UNBOUNDED Python integers (the reference applies no 32-bit mask),
+    reduced mod bucket by the caller."""
+    h = 2166136261
+    for b in bytez:
+        h = h ^ b
+        h = h * 16777619
+    return h
+
+
+def compute_ngrams_bytes(entity: str) -> list[bytes]:
+    """fasttext.py:178-199: URIs split on '#' into segment 'ngrams';
+    non-URIs contribute themselves."""
+    if "http" in entity:
+        return [s.encode() for s in " ".join(entity.split("#")).split()]
+    return [entity.encode()]
+
+
+def ft_ngram_buckets(entity: str, num_buckets: int = 2_000_000) -> list[int]:
+    return [ft_hash_bytes(n) % num_buckets for n in compute_ngrams_bytes(entity)]
+
+
+class SparkFastText:
+    """FastText-contract embedder: Word2Vec over the walk corpus plus a
+    subword-bucket pooling layer (SURVEY.md E3 plan — MLlib has no
+    FastText; gensim's joint word+ngram training is approximated by
+    deriving bucket vectors as the mean of in-vocabulary word vectors
+    sharing the bucket).
+
+    transform semantics mirror RDFFastTextKeyedVectors.get_vector
+    (fasttext.py:129-156): in-vocab word → its word vector; OOV word →
+    mean of its ngram-bucket vectors; no extractable ngrams → zeros.
+    """
+
+    def __init__(self, vector_size: int = 64, bucket: int = 2_000_000,
+                 seed: int = 42, **w2v_kwargs):
+        self.bucket = bucket
+        self._w2v = SparkWord2Vec(vector_size=vector_size, seed=seed, **w2v_kwargs)
+        self._bucket_vecs: DataFrame | None = None
+        self.vector_size = vector_size
+
+    def _bucket_table(self) -> DataFrame:
+        nb = self.bucket
+
+        @pandas_udf(ArrayType(LongType()))
+        def _buckets(col: pd.Series) -> pd.Series:
+            return col.map(lambda w: ft_ngram_buckets(w, nb))
+
+        vecs = self._w2v.vectors()
+        exploded = vecs.select(
+            F.explode(_buckets(F.col("word"))).alias("bucket"), "vector"
+        )
+        dim = self.vector_size
+        zero = F.array(*[F.lit(0.0).cast("float")] * dim)
+        summed = exploded.groupBy("bucket").agg(
+            F.count("*").alias("n"),
+            F.aggregate(
+                F.collect_list("vector"),
+                zero,
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("sum_vec"),
+        )
+        return summed.select(
+            "bucket",
+            F.expr("transform(sum_vec, x -> cast(x / n as float))").alias(
+                "bucket_vec"
+            ),
+        )
+
+    def fit(self, walks: DataFrame, deterministic: bool = False) -> "SparkFastText":
+        self._w2v.fit(walks, deterministic=deterministic)
+        self._bucket_vecs = self._bucket_table().persist()
+        self._bucket_vecs.count()
+        return self
+
+    def transform(self, entities: DataFrame) -> DataFrame:
+        """(word, vector) for every entity; OOV words resolve through
+        subword buckets — never raises for OOV (the FastText property)."""
+        if self._bucket_vecs is None:
+            raise ValueError("You must call the `fit(walks)` method first.")
+        nb = self.bucket
+
+        @pandas_udf(ArrayType(LongType()))
+        def _buckets(col: pd.Series) -> pd.Series:
+            return col.map(lambda w: ft_ngram_buckets(w, nb))
+
+        ents = entities.select(F.col(entities.columns[0]).alias("word"))
+        vecs = self._w2v.vectors()
+        known = ents.join(vecs, "word", "inner")
+        dim = self.vector_size
+        oov = (
+            ents.join(vecs, "word", "left_anti")
+            .select("word", F.explode(_buckets(F.col("word"))).alias("bucket"))
+            .join(self._bucket_vecs, "bucket", "left")
+        )
+        zero = F.array(*[F.lit(0.0).cast("float")] * dim)
+        pooled = (
+            oov.withColumn("bv", F.coalesce("bucket_vec", zero))
+            .groupBy("word")
+            .agg(
+                F.count("*").alias("n"),
+                F.aggregate(
+                    F.collect_list("bv"),
+                    zero,
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("sum_vec"),
+            )
+            .select(
+                "word",
+                F.expr("transform(sum_vec, x -> cast(x / n as float))").alias(
+                    "vector"
+                ),
+            )
+        )
+        return known.unionByName(pooled)

@@ -20,7 +20,12 @@ from pyrdf2vec_spark.canon import canonical_mapping, canonicalize_triples
 from pyrdf2vec_spark.embed import SparkWord2Vec
 from pyrdf2vec_spark.extract import extract_triples, triples_only
 from pyrdf2vec_spark.graph import SparkKG
-from pyrdf2vec_spark.walks import canonicalize_walks, extract_walks, wl_walks
+from pyrdf2vec_spark.walks import (
+    bfs_canonical_walks,
+    canonicalize_walks,
+    extract_walks,
+    wl_walks,
+)
 
 
 class StageManifest:
@@ -163,6 +168,13 @@ class RDF2VecPipeline:
                     self.wl_iterations, self.md5_bytes,
                     self.with_reverse, self.sampler, self.seed,
                 )
+            if self.max_walks is None and not self.with_reverse:
+                # fused BFS + canonicalization: O(|V|) repr work, no
+                # driver-side entity collect — the at-scale path
+                return bfs_canonical_walks(
+                    kg, entities, self.max_depth, self.md5_bytes,
+                    keep_root=False, seed_entities=entities,
+                )
             raw = extract_walks(
                 kg, entities, self.max_depth, self.max_walks,
                 with_reverse=self.with_reverse, sampler=self.sampler,
@@ -198,6 +210,42 @@ class RDF2VecPipeline:
     ) -> tuple[DataFrame, DataFrame]:
         self.fit(kg, entities)
         return self.transform(kg, entities)
+
+    # -- O6: online update (rdf2vec.py:248-272 + is_update) ------------
+    def update(self, new_transcripts: DataFrame) -> DataFrame:
+        """Online update: merge triples extracted from NEW transcripts
+        into the graph, re-extract walks for every entity the new
+        triples touch, REPLACE those entities' stored walks
+        (the reference's _pos_entities/_pos_walks in-place swap), and
+        refit Word2Vec over the merged corpus (gensim's incremental
+        ``is_update`` has no MLlib analogue — the persisted corpus
+        makes the refit exact; documented divergence SURVEY.md E1).
+
+        Returns the refreshed embeddings for the affected entities.
+        """
+        if self.kg_ is None or self.walks_ is None:
+            raise ValueError("call fit()/run() before update()")
+        new_triples = triples_only(extract_triples(new_transcripts))
+        merged = self.kg_.edges.selectExpr(
+            "src as subj", "pred", "dst as obj"
+        ).unionByName(new_triples)
+        self.kg_ = SparkKG(merged)
+        affected = (
+            new_triples.select(F.col("subj").alias("name"))
+            .union(new_triples.select(F.col("obj").alias("name")))
+            .distinct()
+        )
+        new_walks = bfs_canonical_walks(
+            self.kg_, affected, self.max_depth, self.md5_bytes,
+            keep_root=False, seed_entities=affected,
+        )
+        kept = self.walks_.join(
+            affected.withColumnRenamed("name", "entity"), "entity",
+            "left_anti",
+        )
+        self.walks_ = kept.unionByName(new_walks).localCheckpoint(eager=True)
+        self.embedder.fit(self.walks_)
+        return self.embedder.transform(affected)
 
     # -- full end-to-end from raw transcripts --------------------------
     def run(

@@ -1,0 +1,82 @@
+"""Structured-Streaming ingestion: transcripts land as parquet files,
+triples accrete incrementally, and the KG stays current.
+
+The reference's closest analogue is the online-update path
+(pyrdf2vec/rdf2vec.py:248-272 `_update` + Word2Vec ``is_update``); here
+the incremental unit is a micro-batch of NEW transcript files:
+extraction is stateless per turn (partition-local Arrow UDF), and the
+sink-side dedup is an anti-join against the accumulated triple set —
+with Iceberg this becomes MERGE INTO, the parquet fallback is
+append-of-novel-rows.
+
+Also provides the watermarked windowed aggregation shape (late-data
+tolerant turn rates) for monitoring streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pyrdf2vec_spark.extract import extract_triples, triples_only
+from pyrdf2vec_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of transcript parquet drops."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+
+def stream_triples(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental transcripts → triples: per micro-batch, extract, then
+    append only rows not already in the sink (anti-join dedup; MERGE
+    INTO under an Iceberg catalog). Checkpointed → exactly-once files.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = triples_only(extract_triples(batch_df))
+        try:
+            existing = spark.read.parquet(output_dir)
+            delta = new.join(existing, ["subj", "pred", "obj"], "left_anti")
+        except Exception:
+            delta = new
+        delta.write.mode("append").parquet(output_dir)
+
+    writer = (
+        read_transcript_stream(spark, input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def turn_rates(
+    transcripts_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window turn counts per role — the
+    late-data-tolerant monitoring aggregate (readStream → withWatermark
+    → groupBy(window) per the Structured Streaming model)."""
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "role",
+            "n_turns",
+        )
+    )

@@ -866,6 +866,149 @@ def wl_walks(
 
 
 # ---------------------------------------------------------------------------
+# W13 — CommunityWalker (pyrdf2vec/walkers/community.py:99-250)
+# ---------------------------------------------------------------------------
+def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
+    """Community assignment over the undirected entity graph via label
+    propagation — the DataFrame-native stand-in for the reference's
+    Louvain `community.best_partition` (community.py:110-128).
+    Semantic (not exact) match: the reference's own output is
+    nondeterministic (module-level np.random monkeypatching,
+    community.py:17-33); tests assert community-structure invariants.
+
+    Returns (name, community). Deterministic: ties broken by smallest
+    label; each round is groupBy(node, label) → max_by(count, label).
+    """
+    und = (
+        kg.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(kg.edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = kg.entity_names().select(
+        "name", F.col("name").alias("community")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        neigh = und.join(
+            labels.withColumnRenamed("name", "b"), "b"
+        ).select(F.col("a").alias("name"), "community")
+        # self-vote damps the 2-cycle oscillation classic LPA suffers
+        counts = neigh.unionByName(labels).groupBy("name", "community").agg(
+            F.count("*").alias("cnt")
+        )
+        # most frequent label; ties → lexicographically smallest label
+        picked = counts.groupBy("name").agg(
+            F.min_by(
+                "community",
+                F.struct((-F.col("cnt")).alias("nc"), F.col("community")),
+            ).alias("new_community")
+        )
+        labels = (
+            labels.join(picked, "name", "left")
+            .select(
+                "name",
+                F.coalesce("new_community", "community").alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels
+
+
+def community_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    hop_prob: float = 0.1,
+    seed: int = 42,
+    is_reverse: bool = False,
+    lpa_iterations: int = 5,
+) -> DataFrame:
+    """CommunityWalker._bfs (community.py:140-185): exhaustive BFS where
+    each (pred, obj) extension ALSO, with probability ``hop_prob``,
+    spawns a teleport walk ending in a uniformly-drawn member of obj's
+    community — a single appended vertex, intentionally breaking the
+    pred/entity alternation exactly as the reference does.
+
+    Distribution-equivalent (deterministic hash randomness); exact RNG
+    streams are impossible to replicate (SURVEY.md §5.4).
+    """
+    comm = community_labels(kg, lpa_iterations).persist()
+    members = comm.select(
+        "community", F.col("name").alias("member")
+    ).persist()
+    e = _edge_side(kg, kg.edges)
+    walks = _seeds(entities).select(
+        "entity", F.array(F.col("entity")).alias("walk")
+    )
+    finished: DataFrame | None = None
+    for depth in range(max_depth):
+        if is_reverse:
+            key = F.element_at(F.col("walk"), 1)
+            joined = walks.join(e, key == e["dst"], "left")
+            hop_other = F.col("src")
+            extended = F.concat(
+                F.array(F.col("src"), F.col("pred")), F.col("walk")
+            )
+        else:
+            key = F.element_at(F.col("walk"), -1)
+            joined = walks.join(e, key == e["src"], "left")
+            hop_other = F.col("dst")
+            extended = F.concat(
+                F.col("walk"), F.array(F.col("pred"), F.col("dst"))
+            )
+        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
+        finished = dead if finished is None else finished.unionByName(dead)
+        live = joined.where(F.col("pred").isNotNull())
+        # teleport candidates: hop passes the biased coin
+        u = (
+            F.pmod(
+                F.xxhash64(
+                    F.col("walk"), F.lit(depth), hop_other, F.lit(seed)
+                ),
+                F.lit(10**6),
+            ).cast("double")
+            / F.lit(10.0**6)
+        )
+        cands = live.where(u < F.lit(hop_prob)).select(
+            "entity", "walk", hop_other.alias("obj")
+        )
+        picked = (
+            cands.join(comm.withColumnRenamed("name", "obj"), "obj")
+            .join(members, "community")
+            .groupBy("entity", "walk", "obj")
+            .agg(
+                F.min_by(
+                    "member",
+                    F.xxhash64(
+                        F.col("walk"), F.col("member"), F.lit(seed + depth)
+                    ),
+                ).alias("member")
+            )
+        )
+        tele = picked.select(
+            "entity",
+            (
+                F.concat(F.array(F.col("member")), F.col("walk"))
+                if is_reverse
+                else F.concat(F.col("walk"), F.array(F.col("member")))
+            ).alias("walk"),
+        )
+        # teleport walks re-enter the frontier: the reference adds them
+        # to the live walk set, so they are extended (or replaced) in
+        # later iterations just like hop extensions (community.py:166-183)
+        walks = live.select("entity", extended.alias("walk")).unionByName(tele)
+        if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
+            walks = walks.localCheckpoint(eager=False)
+    out = walks if finished is None else finished.unionByName(walks)
+    out = out.dropDuplicates(["entity", "walk"])
+    comm.unpersist()
+    members.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # W11 — SplitWalker (pyrdf2vec/walkers/split.py:53-125)
 # ---------------------------------------------------------------------------
 def split_walks(walks: DataFrame) -> DataFrame:

@@ -59,6 +59,33 @@ class TestWord2Vec:
         row = w2v.vectors().first()
         assert len(row["vector"]) == 24
 
+    def test_fasttext_hash_replica(self):
+        # exact FNV-1a replica of fasttext.py:201-215 (unbounded ints)
+        from pyrdf2vec_spark.embed import compute_ngrams_bytes, ft_hash_bytes
+
+        h = 2166136261
+        for b in b"Alice":
+            h = (h ^ b) * 16777619
+        assert ft_hash_bytes(b"Alice") == h
+        assert compute_ngrams_bytes("http://x#Alice") == [b"http://x", b"Alice"]
+        assert compute_ngrams_bytes("plain") == [b"plain"]
+
+    def test_fasttext_oov_pooling(self, spark, corpus):
+        from pyrdf2vec_spark.embed import SparkFastText
+
+        ft = SparkFastText(vector_size=8, seed=5).fit(corpus)
+        # in-vocab word → word vector identical to the Word2Vec layer
+        ents = spark.createDataFrame([(ROOTS[0],)], "word string")
+        wv = {r["word"]: list(r["vector"]) for r in ft._w2v.transform(ents).collect()}
+        got = {r["word"]: list(r["vector"]) for r in ft.transform(ents).collect()}
+        assert got == wv
+        # OOV URI sharing the http://pyRDF2Vec prefix pools a non-zero
+        # vector through the shared '#'-segment bucket
+        oov = spark.createDataFrame([(f"{URL}#Zelda",)], "word string")
+        row = ft.transform(oov).first()
+        assert row is not None
+        assert any(abs(x) > 0 for x in row["vector"])
+
     def test_save_load_roundtrip(self, spark, corpus, tmp_path):
         w2v = SparkWord2Vec(vector_size=8, seed=3).fit(corpus)
         p = str(tmp_path / "w2v_model")

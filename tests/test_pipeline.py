@@ -1,0 +1,140 @@
+"""End-to-end pipeline: transcripts → embeddings, checkpoint-resume,
+online update (O6), CLI, and streaming ingestion."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrdf2vec_spark.pipeline import RDF2VecPipeline
+from pyrdf2vec_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synth_transcripts(spark, 80, 10, seed=42)
+
+
+class TestPipeline:
+    def test_run_end_to_end(self, spark, transcripts):
+        pipe = RDF2VecPipeline(max_depth=2, vector_size=16)
+        emb = pipe.run(transcripts)
+        n = emb.count()
+        assert n > 50
+        assert emb.columns == ["word", "vector"]
+        assert len(emb.first()["vector"]) == 16
+
+    def test_fit_transform_equals_fit_then_transform(self, spark, transcripts):
+        # rdf2vec.py:126-147 / tests/test_rdf2vec.py:68-75
+        pipe = RDF2VecPipeline(max_depth=1, vector_size=8, canonicalize=False)
+        kg = pipe.build_graph(transcripts)
+        ents = kg.entity_names().limit(20)
+        emb1, lits1 = pipe.fit_transform(kg, ents)
+        emb2, lits2 = pipe.transform(kg, ents)
+        a = {r["word"]: list(r["vector"]) for r in emb1.collect()}
+        b = {r["word"]: list(r["vector"]) for r in emb2.collect()}
+        assert a == b
+
+    def test_checkpoint_resume(self, spark, transcripts, tmp_path):
+        ck = str(tmp_path / "ckpt")
+        p1 = RDF2VecPipeline(max_depth=1, vector_size=8, checkpoint_dir=ck)
+        n1 = p1.run(transcripts).count()
+        p2 = RDF2VecPipeline(max_depth=1, vector_size=8, checkpoint_dir=ck)
+        n2 = p2.run(transcripts).count()
+        assert n1 == n2
+        # resumed stages cost ~nothing
+        assert p2.timings_["extract"] == 0.0
+        assert p2.timings_["walks"] == 0.0
+        # manifest rows recorded
+        lines = open(os.path.join(ck, "manifest.jsonl")).read().splitlines()
+        assert all(json.loads(ln)["status"] == "ok" for ln in lines)
+
+    def test_missing_entities_raise(self, spark, transcripts):
+        pipe = RDF2VecPipeline(max_depth=1)
+        kg = pipe.build_graph(transcripts)
+        bad = spark.createDataFrame([("ghost_99",)], "name string")
+        with pytest.raises(ValueError):
+            pipe.get_walks(kg, bad)
+
+    def test_online_update(self, spark, transcripts):
+        pipe = RDF2VecPipeline(max_depth=1, vector_size=8, canonicalize=False)
+        pipe.run(transcripts)
+        n_edges_before = pipe.kg_.edges.count()
+        more = synth_transcripts(spark, 40, 10, seed=99)
+        refreshed = pipe.update(more)
+        assert refreshed.count() > 0
+        assert pipe.kg_.edges.count() >= n_edges_before
+        # updated corpus feeds a usable model for old entities too
+        some = pipe.kg_.entity_names().limit(5)
+        assert pipe.embedder.transform(some).count() == 5
+
+
+class TestCLI:
+    def test_synth_extract_run(self, spark, tmp_path):
+        from pyrdf2vec_spark import cli
+
+        tdir = str(tmp_path / "tr")
+        odir = str(tmp_path / "triples")
+        edir = str(tmp_path / "emb")
+        assert cli.main(["synth", "--convs", "30", "--out", tdir]) == 0
+        assert cli.main(["extract", "--transcripts", tdir, "--out", odir]) == 0
+        assert spark.read.parquet(odir).count() > 0
+        assert (
+            cli.main(
+                ["run", "--transcripts", tdir, "--out", edir,
+                 "--max-depth", "1", "--vector-size", "8"]
+            )
+            == 0
+        )
+        assert spark.read.parquet(edir).count() > 0
+
+
+class TestStreaming:
+    def test_incremental_triples(self, spark, tmp_path):
+        from pyrdf2vec_spark.streaming.transcripts_stream import stream_triples
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        synth_transcripts(spark, 20, 10, seed=1).write.parquet(
+            in_dir, mode="append"
+        )
+        q = stream_triples(spark, in_dir, out_dir, ck)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 > 0
+        # second drop: only NOVEL triples get appended
+        synth_transcripts(spark, 20, 10, seed=1).write.mode("append").parquet(
+            in_dir
+        )
+        synth_transcripts(spark, 10, 10, seed=7).write.mode("append").parquet(
+            in_dir
+        )
+        q2 = stream_triples(spark, in_dir, out_dir, ck)
+        q2.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        assert out.count() == out.dropDuplicates().count()
+
+    def test_turn_rates_watermark(self, spark, tmp_path):
+        from pyrdf2vec_spark.streaming.transcripts_stream import (
+            read_transcript_stream,
+            turn_rates,
+        )
+
+        in_dir = str(tmp_path / "in2")
+        synth_transcripts(spark, 30, 10, seed=3).write.parquet(in_dir)
+        rates = turn_rates(read_transcript_stream(spark, in_dir))
+        q = (
+            rates.writeStream.format("memory")
+            .queryName("rates_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode only emits closed windows; the aggregation itself
+        # must be a valid watermarked streaming plan (this is the check)
+        assert spark.table("rates_test").columns == [
+            "window_start", "role", "n_turns",
+        ]

@@ -354,6 +354,53 @@ class TestWL:
 
 
 # ---------------------------------------------------------------------------
+# W13 Community (community.py:99-250) — structural invariants; the
+# reference's own Louvain output is nondeterministic (SURVEY.md W13)
+# ---------------------------------------------------------------------------
+class TestCommunity:
+    def test_labels_cover_entities(self, kg_loop):
+        from pyrdf2vec_spark.walks import community_labels
+
+        labs = community_labels(kg_loop, 3).collect()
+        names = {r["name"] for r in labs}
+        assert names == {uri(e) for e in ("Alice", "Bob", "Dean")}
+
+    def test_two_components_two_communities(self, spark):
+        from pyrdf2vec_spark.graph import SparkKG
+        from pyrdf2vec_spark.walks import community_labels
+
+        t = spark.createDataFrame(
+            [("a", "p", "b"), ("b", "p", "a"), ("x", "p", "y"), ("y", "p", "x")],
+            "subj string, pred string, obj string",
+        )
+        labs = {
+            r["name"]: r["community"]
+            for r in community_labels(SparkKG(t), 5).collect()
+        }
+        assert labs["a"] == labs["b"]
+        assert labs["x"] == labs["y"]
+        assert labs["a"] != labs["x"]
+
+    def test_walks_superset_of_bfs(self, kg_loop, roots):
+        from pyrdf2vec_spark.walks import community_walks
+
+        plain = walks_set(bfs_walks(kg_loop, roots, 2))
+        # hop_prob=0 → exactly plain BFS
+        assert walks_set(community_walks(kg_loop, roots, 2, hop_prob=0.0)) == plain
+        # hop_prob=1 → strict superset with teleport walks present
+        withtel = walks_set(community_walks(kg_loop, roots, 2, hop_prob=1.0))
+        assert plain <= withtel
+        assert len(withtel) > len(plain)
+
+    def test_deterministic(self, kg_loop, roots):
+        from pyrdf2vec_spark.walks import community_walks
+
+        a = walks_set(community_walks(kg_loop, roots, 2, hop_prob=0.5, seed=3))
+        b = walks_set(community_walks(kg_loop, roots, 2, hop_prob=0.5, seed=3))
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
 # W11 Split (split.py:53-125)
 # ---------------------------------------------------------------------------
 class TestSplit:
