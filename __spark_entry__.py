@@ -48,11 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
     customer entities → md5 canonicalization → MLlib Word2Vec →
     per-entity embeddings."""
     from pyrdf2vec_spark.embed import SparkWord2Vec
-    from pyrdf2vec_spark.walks import bfs_walks, canonicalize_walks
+    from pyrdf2vec_spark.walks import bfs_canonical_walks
 
     kg = _kg(spark, "/root/testdata/sf0.001")
     seeds = _customer_seeds(kg)
-    walks = canonicalize_walks(bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True)
+    walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8, keep_root=True)
     w2v = SparkWord2Vec(vector_size=32, seed=42).fit(walks)
     return w2v.transform(seeds)
 

@@ -42,6 +42,13 @@ def link_surface(surface: str) -> tuple[str, float]:
     if m:
         return f"{m.group(1)}_{int(m.group(2))}", 1.0
     norm = _NORM.sub("_", s).strip("_")
+    # idempotence: normalization may reveal the canonical key shape
+    m = _KEY.match(norm)
+    if m:
+        return (
+            f"{m.group(1)}_{int(m.group(2))}",
+            min(1.0, len(norm) / max(1, len(s))),
+        )
     return norm, min(1.0, len(norm) / max(1, len(s)))
 
 
@@ -53,6 +60,14 @@ def _link_series(surfaces: pd.Series) -> tuple[pd.Series, pd.Series]:
     canon = pd.Series(index=s.index, dtype=object)
     canon[matched] = m.loc[matched, 0] + "_" + m.loc[matched, 1].astype(int).astype(str)
     fallback = s[~matched].str.replace(_NORM, "_", regex=True).str.strip("_")
+    # idempotence: normalization may reveal the canonical key shape
+    fm = fallback.str.extract(_KEY)
+    fhit = fm[0].notna()
+    if fhit.any():
+        fallback = fallback.copy()
+        fallback[fhit] = (
+            fm.loc[fhit, 0] + "_" + fm.loc[fhit, 1].astype(int).astype(str)
+        )
     canon[~matched] = fallback
     score = pd.Series(1.0, index=s.index)
     if (~matched).any():

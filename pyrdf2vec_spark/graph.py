@@ -232,6 +232,18 @@ class SparkKG:
         )
 
 
+def read_entities_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — seed-entity TSV scan (examples/mutag.py:17-27 pattern:
+    pd.read_csv(sep='\\t') of entity URIs + labels). First column is the
+    entity URI; any remaining columns ride along."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .csv(path)
+    )
+
+
 def triples_from_nt(spark: SparkSession, path: str) -> DataFrame:
     """Minimal N-Triples file scan (S1 stand-in for rdflib parse,
     kg.py:153-155) — line-oriented, Catalyst regex extraction, no

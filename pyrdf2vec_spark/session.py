@@ -56,6 +56,10 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
+        # one shuffle partition per core by default: measured fastest for
+        # the broadcast-probe walk stages locally (4x over-partitioning
+        # cost 2.3x on the walk corpus); on a real cluster override to
+        # ~2-3x total executor cores
         shuffle_partitions = int(cpus) if cpus else 32
 
     builder = (

@@ -221,7 +221,12 @@ def synth_transcripts(
     across executors; an Arrow-batched mapInPandas materializes rows.
     Output is identical regardless of partitioning."""
     total = n_conversations * turns_per_conv
-    rng = spark.range(0, total, 1, partitions or spark.sparkContext.defaultParallelism)
+    # one generation partition per core, but cap per-task row counts so
+    # low-parallelism runs don't build multi-GB tasks downstream
+    default_parts = max(
+        spark.sparkContext.defaultParallelism, total // 1_000_000 + 1
+    )
+    rng = spark.range(0, total, 1, partitions or default_parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

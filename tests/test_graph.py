@@ -129,6 +129,17 @@ class TestSkipPredicates:
         assert kg.edges.first()["pred"] == "keep"
 
 
+class TestTSVScan:
+    def test_entities_tsv(self, spark, tmp_path):
+        from pyrdf2vec_spark.graph import read_entities_tsv
+
+        p = tmp_path / "ents.tsv"
+        p.write_text("bond\tid\tlabel_mutagenic\nhttp://x#d1\t1.0\t0.0\n")
+        got = read_entities_tsv(spark, str(p)).collect()
+        assert got[0]["bond"] == "http://x#d1"
+        assert got[0]["label_mutagenic"] == 0.0
+
+
 class TestNTScan:
     def test_parse(self, spark, tmp_path):
         p = tmp_path / "g.nt"
