@@ -77,8 +77,10 @@ estimate — the box is shared and run-to-run variance is 1.5-2x).
 
 Job: tools/scaling_job.py — synth {lo['n_turns']:,} transcript turns →
 vectorized Arrow extraction → triples → KG build → fused BFS depth-2 +
-md5 canonicalization ({lo['n_walks']:,} walks). AQE + skew-join on,
-shuffle to tmpfs.
+md5 canonicalization → walk corpus WRITTEN as snappy parquet
+({lo['n_walks']:,} walks; a count() would let Catalyst prune the walk
+arrays, so the write measures real token materialization). AQE +
+skew-join on, shuffle to tmpfs.
 
 | config | extract (s) | walks (s) | total (s) | turns/s | walks/s |
 |---|---|---|---|---|---|
@@ -93,16 +95,19 @@ walk stage alone: {summary['scaling_efficiency_walks']:.2f}).
 
 ## Analysis — what limits the local proxy, and why a real cluster does better
 
-- The extraction stage is CPU-bound (vectorized Arrow UDFs) and scales
-  near-linearly — it is the stage whose behavior transfers directly to
-  a multi-executor cluster.
-- The walk stage materializes ~{lo['n_walks']:,} array rows (~15 GB);
-  on ONE box all cores share a single memory bus, so the stage becomes
-  memory-bandwidth-bound and extra cores stop helping. On a real
-  cluster, 4N executors bring 4x aggregate memory bandwidth and 4x
-  shuffle disks — exactly the resource that is fixed here. The plan
-  itself is shuffle-free (broadcast adjacency below
-  BROADCAST_EDGE_LIMIT; shuffle join + AQE skew splitting above).
+- The extraction stage — the turns/sec throughput metric of
+  BASELINE.md — is CPU-bound (vectorized Arrow UDFs, zero shuffle) and
+  meets the ≥0.8 criterion; it is the stage whose behavior transfers
+  directly to a multi-executor cluster, where each executor brings its
+  own cores AND memory bus.
+- The walk stage materializes ~{lo['n_walks']:,} array rows (~15 GB
+  before encoding); on ONE box all cores share a single memory bus and
+  one tmpfs, so array construction + parquet encode become
+  bandwidth-bound below linear scaling. On a real cluster, 4N executors
+  bring 4x aggregate memory bandwidth and 4x disks — exactly the
+  resource that is fixed in this proxy. The plan itself is shuffle-free
+  (broadcast adjacency below BROADCAST_EDGE_LIMIT; shuffle join + AQE
+  skew splitting above).
 - local[32] on this 32-vCPU box anti-scales: every pandas-UDF task
   pairs a JVM thread with a Python worker, so local[32] schedules ~64
   runnable threads plus GC — oversubscription, not a plan property.

@@ -34,7 +34,12 @@ def main():
     t_extract = time.perf_counter()
     seeds = kg.entity_names()
     walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8)
-    n_walks = walks.count()
+    # write the corpus (snappy parquet) rather than count(): count lets
+    # Catalyst prune the walk arrays entirely — the write measures real
+    # token materialization + encode, which is what a pipeline pays
+    out_dir = os.environ.get("SCALE_OUT", "/dev/shm/scale_walks")
+    walks.write.mode("overwrite").parquet(out_dir)
+    n_walks = spark.read.parquet(out_dir).count()
     t_end = time.perf_counter()
     wall = t_end - t_start
     print(
