@@ -495,6 +495,181 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """
 
+def _duck_md5_repr(expr: str) -> str:
+    """DuckDB twin of walks._md5_repr_sql: Python's str(md5(x).digest()[:8])
+    built from the md5 hex pairs (lowercase \\xhh comes free from the hex
+    string). DuckDB string literals are escape-free, so backslashes are
+    written literally."""
+    pairs = [f"substr(md5({expr}), {2 * i - 1}, 2)" for i in range(1, 9)]
+    vals = [f"(('0x' || {p})::INT)" for p in pairs]
+    has39 = " OR ".join(f"{v} = 39" for v in vals)
+    has34 = " OR ".join(f"{v} = 34" for v in vals)
+
+    def byte_case(v: str, p: str, dq: bool) -> str:
+        c = (
+            f"CASE WHEN {v} = 9 THEN '\\t' "
+            f"WHEN {v} = 10 THEN '\\n' "
+            f"WHEN {v} = 13 THEN '\\r' "
+            f"WHEN {v} = 92 THEN '\\\\' "
+        )
+        if not dq:
+            c += f"WHEN {v} = 39 THEN '\\''' "
+        c += (
+            f"WHEN {v} BETWEEN 32 AND 126 THEN chr({v}) "
+            f"ELSE '\\x' || {p} END"
+        )
+        return c
+
+    sq = " || ".join(byte_case(v, p, False) for v, p in zip(vals, pairs))
+    dq = " || ".join(byte_case(v, p, True) for v, p in zip(vals, pairs))
+    return (
+        f"CASE WHEN ({has39}) AND NOT ({has34}) "
+        f"THEN 'b\"' || {dq} || '\"' "
+        f"ELSE 'b''' || {sq} || '''' END"
+    )
+
+
+_WL_N1_SQL = f"""{_EDGES_CTE},
+ents AS (SELECT DISTINCT src AS name FROM edges
+         UNION SELECT DISTINCT dst FROM edges),
+sfx AS (SELECT dst AS name, string_agg(DISTINCT pred, '-' ORDER BY pred) AS s
+        FROM edges GROUP BY dst),
+raw AS (SELECT e.name, e.name || '-' || coalesce(x.s, '') AS raw_label
+        FROM ents e LEFT JOIN sfx x USING (name))
+SELECT name, 0 AS n, name AS label FROM ents
+UNION ALL
+SELECT name, 1 AS n, {_duck_md5_repr('raw_label')} AS label FROM raw
+"""
+
+# MinHash permutation constants shared with canon._hash_params(12, 42)
+def _minhash_consts():
+    from pyrdf2vec_spark.canon import _P, _hash_params
+
+    return _P, _hash_params(12, 42)
+
+
+def _minhash_pairs_sql() -> str:
+    P, params = _minhash_consts()
+    mins = ", ".join(
+        f"min(({a} * (h % {P}) + {b}) % {P}) AS h{k}"
+        for k, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT name, {b} AS band_idx, CAST(h{2 * b} AS STRING) || '|' || "
+        f"CAST(h{2 * b + 1} AS STRING) AS band_sig FROM sigs"
+        for b in range(6)
+    )
+    return f"""
+WITH docs AS (SELECT text AS name, min(doc_id) AS doc_id
+              FROM documents WHERE doc_id < 400 GROUP BY text),
+w AS (SELECT name, regexp_split_to_array(trim(lower(name)), ' +') AS ws
+      FROM docs),
+idx AS (SELECT name, ws,
+               unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+        FROM w),
+sh AS (SELECT DISTINCT name, array_to_string(ws[i:i+2], ' ') AS s FROM idx),
+h AS (SELECT DISTINCT name, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM sh),
+sizes AS (SELECT name, count(*) AS n_sh FROM h GROUP BY name),
+sigs AS (SELECT name, {mins} FROM h GROUP BY name),
+bands AS ({band_rows}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band_idx, band_sig) AS bn
+          FROM bands),
+pairs AS (SELECT DISTINCT x.name AS a, y.name AS b
+          FROM sized x JOIN sized y USING (band_idx, band_sig)
+          WHERE x.bn <= 200 AND y.bn <= 200 AND x.name < y.name),
+common AS (SELECT p.a, p.b, count(*) AS c
+           FROM pairs p
+           JOIN h ha ON ha.name = p.a
+           JOIN h hb ON hb.name = p.b AND hb.h = ha.h
+           GROUP BY p.a, p.b),
+verified AS (SELECT a, b, c / (sa.n_sh + sb.n_sh - c) AS j
+             FROM common JOIN sizes sa ON sa.name = a
+             JOIN sizes sb ON sb.name = b
+             WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5)
+SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, round(j, 6) AS jaccard
+FROM verified JOIN docs da ON da.name = a JOIN docs db ON db.name = b
+"""
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({_SIMHASH_SQL}),
+blocks AS (
+  SELECT doc_id, simhash, simhash % 256 AS block, 0 AS which FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, simhash // 256 AS block, 1 AS which FROM sig
+),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                x.simhash AS ha, y.simhash AS hb
+         FROM blocks x JOIN blocks y USING (block, which)
+         WHERE x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+"""
+
+_IVF_TOPK_SQL_TEMPLATE = (
+    """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING))) - 1
+           AS centroid_id,
+         embedding AS centroid
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING))) <= 16
+),
+assigned AS (
+  SELECT vec_id AS id, embedding AS v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {COS_VC} DESC, centroid_id ASC) AS rn
+  FROM embeddings, cents
+),
+best AS (SELECT id, v, centroid_id FROM assigned WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, centroid_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {COS_QC} DESC, centroid_id ASC) AS prank
+  FROM q, cents
+),
+p AS (SELECT query_id, qv, centroid_id FROM probes WHERE prank <= 4),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id, {COS_QA} AS cos
+  FROM p JOIN best a USING (centroid_id)
+  WHERE p.query_id != a.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)})"
+    )
+
+
+_IVF_TOPK_SQL = _IVF_TOPK_SQL_TEMPLATE.format(
+    COS_VC=_cos_sql("embedding", "centroid"),
+    COS_QC=_cos_sql("qv", "centroid"),
+    COS_QA=_cos_sql("p.qv", "a.v"),
+)
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       32 AS n_bytes, 8 AS dim
+FROM documents WHERE doc_id < 200
+"""
+
 _EVENTS_SESSION_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -594,12 +769,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "embed_topk": _EMB_TOPK_SQL,
+        "embed_ivf_topk": _IVF_TOPK_SQL,
+        "wl_labels_n1": _WL_N1_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSION_SQL,
-        # pagerank / walks_dfs_sampled / wl_labels_n1 / dedup_minhash_pairs /
-        # dedup_simhash_pairs / embed_ivf_topk / embed_neardup /
-        # multimodal_features / transcript_triples: iterative, RNG-based,
-        # Python-repr, or approx operators — rows-only checks by design.
+        # pagerank / walks_dfs_sampled / embed_neardup / transcript_triples:
+        # iterative, RNG-distribution, or generator-side operators —
+        # rows-only checks by design.
     }
