@@ -299,13 +299,15 @@ def _q_multimodal_features(spark, sf):
 
 
 def _q_transcript_pipeline(spark, sf):
+    """The north-rule centerpiece as a driver-gate query: synthesize
+    1000 deterministic conversations, run mention detection + linking,
+    return distinct triples. The DuckDB oracle computes the PLANTED
+    ground truth directly from the generator arithmetic (no regex), so
+    a hash match certifies extraction P/R = 1.0."""
     from pyrdf2vec_spark.extract import extract_triples, triples_only
     from pyrdf2vec_spark.sources.transcripts import synth_transcripts
 
-    n_conv = {"0.001": 100, "0.01": 1000, "0.1": 10000}.get(
-        sf.rstrip("/").rsplit("sf", 1)[-1], 100
-    )
-    tr = synth_transcripts(spark, n_conv, 10, seed=42)
+    tr = synth_transcripts(spark, 1000, 10, seed=42)
     return triples_only(extract_triples(tr))
 
 
@@ -662,6 +664,47 @@ _IVF_TOPK_SQL = _IVF_TOPK_SQL_TEMPLATE.format(
     COS_QA=_cos_sql("p.qv", "a.v"),
 )
 
+# planted ground truth of the synthetic generator, computed straight
+# from the md5 arithmetic (sources/transcripts._turn_fields) — matching
+# the Spark side's regex-extracted output certifies P/R = 1.0
+_TRANSCRIPT_TRIPLES_SQL = """
+WITH ids AS (SELECT unnest(generate_series(0, 9999)) AS gid),
+d AS (
+  SELECT gid // 10 AS conv, gid % 10 AS turn,
+         md5('conv' || lpad(CAST(gid // 10 AS STRING), 8, '0') || '|' ||
+             CAST(gid % 10 AS STRING) || '|42') AS h
+  FROM ids
+),
+f AS (
+  SELECT conv, turn,
+         ('0x' || substr(h, 3, 2))::INT % 5 AS tmpl_i,
+         ('0x' || substr(h, 7, 6))::BIGINT AS si_raw,
+         ('0x' || substr(h, 13, 6))::BIGINT AS oi_raw
+  FROM d
+),
+trip AS (
+  SELECT
+    CASE tmpl_i
+      WHEN 0 THEN 'person_' || CAST(si_raw % 200 AS STRING)
+      WHEN 1 THEN 'person_' || CAST(si_raw % 200 AS STRING)
+      WHEN 2 THEN 'person_' || CAST(si_raw % 200 AS STRING)
+      WHEN 3 THEN 'org_' || CAST(si_raw % 50 AS STRING)
+    END AS subj,
+    CASE tmpl_i WHEN 0 THEN 'works_at' WHEN 1 THEN 'lives_in'
+                WHEN 2 THEN 'knows' WHEN 3 THEN 'based_in' END AS pred,
+    CASE tmpl_i
+      WHEN 0 THEN 'org_' || CAST(oi_raw % 50 AS STRING)
+      WHEN 1 THEN 'city_' || CAST(oi_raw % 30 AS STRING)
+      WHEN 2 THEN 'person_' || CAST(
+        CASE WHEN oi_raw % 200 = si_raw % 200
+             THEN (oi_raw % 200 + 1) % 200 ELSE oi_raw % 200 END AS STRING)
+      WHEN 3 THEN 'city_' || CAST(oi_raw % 30 AS STRING)
+    END AS obj
+  FROM f WHERE tmpl_i < 4
+)
+SELECT DISTINCT subj, pred, obj FROM trip
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -776,9 +819,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "wl_labels_n1": _WL_N1_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "transcript_triples": _TRANSCRIPT_TRIPLES_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSION_SQL,
-        # pagerank / walks_dfs_sampled / embed_neardup / transcript_triples:
-        # iterative, RNG-distribution, or generator-side operators —
-        # rows-only checks by design.
+        # pagerank / walks_dfs_sampled / embed_neardup: iterative or
+        # RNG-distribution operators — rows-only checks by design.
     }

@@ -128,10 +128,30 @@ def sampled_walks(
     fully deterministic given ``seed``.
     """
     weights = edge_weights(kg, sampler, alpha=alpha)
-    norm = normalize_hop_weights(
-        weights, ["src"], kg=kg, inverse=inverse, split=split
-    ).where(F.col("norm_weight").isNotNull() & (F.col("norm_weight") > 0))
-    norm = norm.persist()
+    if inverse:
+        # inverse needs the per-candidate-set max/min (sampler.py:124-127)
+        norm = normalize_hop_weights(
+            weights, ["src"], kg=kg, inverse=True, split=split
+        )
+    else:
+        # the exponential-race argmin is invariant under positive scaling
+        # of the candidate set, so the per-set sum-normalization windows
+        # are unnecessary — raw weights (plus the split division) give
+        # the identical sampling distribution with zero window shuffles
+        norm = weights.withColumn("norm_weight", F.col("weight").cast("double"))
+        if split:
+            from pyrdf2vec_spark.samplers import split_degrees
+
+            degs = split_degrees(kg).withColumnRenamed("name", "dst")
+            norm = (
+                norm.join(degs, "dst", "left")
+                .where(F.coalesce(F.col("deg"), F.lit(0)) != 0)
+                .withColumn("norm_weight", F.col("norm_weight") / F.col("deg"))
+                .drop("deg")
+            )
+    norm = norm.where(
+        F.col("norm_weight").isNotNull() & (F.col("norm_weight") > 0)
+    ).persist()
 
     slots = (
         _seeds(entities)
