@@ -172,6 +172,38 @@ def _q_wl_labels(spark, sf):
     return wl_labels(_kg(spark, sf), 1)
 
 
+def _q_walk_walklet(spark, sf):
+    from pyrdf2vec_spark.walks import bfs_walks, walklet_walks
+
+    kg = _kg(spark, sf)
+    w = walklet_walks(bfs_walks(kg, _customer_seeds(kg), 2))
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
+def _q_walk_halk(spark, sf):
+    from pyrdf2vec_spark.walks import bfs_walks, halk_walks
+
+    kg = _kg(spark, sf)
+    w = halk_walks(bfs_walks(kg, _customer_seeds(kg), 2), [0.2, 0.3])
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
+def _q_walk_ngram(spark, sf):
+    from pyrdf2vec_spark.walks import bfs_walks, ngram_walks
+
+    kg = _kg(spark, sf)
+    w = ngram_walks(bfs_walks(kg, _customer_seeds(kg), 2), grams=3)
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
+def _q_walk_wl_depth1(spark, sf):
+    from pyrdf2vec_spark.walks import wl_walks
+
+    kg = _kg(spark, sf)
+    w = wl_walks(kg, _customer_seeds(kg), 1, wl_iterations=1)
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
 def _q_text_token_stats(spark, sf):
     from pyrdf2vec_spark.functions.text import token_stats
 
@@ -321,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_depth2": _q_kg_bfs_depth2,
         "kg_existence": _q_kg_existence,
         "kg_literal_chain": _q_kg_literal_chain,
+        "walk_walklet": _q_walk_walklet,
+        "walk_halk": _q_walk_halk,
+        "walk_ngram": _q_walk_ngram,
+        "walk_wl_depth1": _q_walk_wl_depth1,
         "sampler_objfreq": _q_sampler_objfreq,
         "sampler_predfreq": _q_sampler_predfreq,
         "sampler_objpredfreq": _q_sampler_objpredfreq,
@@ -664,6 +700,86 @@ _IVF_TOPK_SQL = _IVF_TOPK_SQL_TEMPLATE.format(
     COS_QA=_cos_sql("p.qv", "a.v"),
 )
 
+# customer depth-2 walk corpus (every customer walk is exactly length 5:
+# c -in_nation-> n -{in_region|has_name}-> x), shared by walker oracles
+_CW_CTE = """
+cw AS (
+  SELECT e1.src AS w0, e1.pred AS w1, e1.dst AS w2,
+         e2.pred AS w3, e2.dst AS w4
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src LIKE 'c:%'
+)"""
+
+_WALKLET_SQL = f"""{_EDGES_CTE},{_CW_CTE}
+SELECT DISTINCT w0 AS entity, w0 || '->' || v AS walk_str
+FROM (SELECT w0, unnest([w1, w2, w3, w4]) AS v FROM cw)
+"""
+
+_HALK_SQL = f"""{_EDGES_CTE},{_CW_CTE},
+walks AS (SELECT DISTINCT w0, w1, w2, w3, w4 FROM cw),
+tot AS (SELECT count(*) AS n FROM walks),
+sup AS (SELECT p, count(*) AS c FROM
+        (SELECT DISTINCT w0, w1, w2, w3, w4, unnest([w1, w3]) AS p
+         FROM walks) GROUP BY p),
+recon AS (
+  SELECT w.w0,
+         CASE WHEN s1.c / t.n >= th.t AND s3.c / t.n >= th.t
+              THEN w.w0 || '->' || w.w1 || '->' || w.w2 || '->' || w.w3 || '->' || w.w4
+              WHEN s1.c / t.n >= th.t
+              THEN w.w0 || '->' || w.w1 || '->' || w.w2
+              WHEN s3.c / t.n >= th.t
+              THEN w.w0 || '->' || w.w3 || '->' || w.w4
+              ELSE NULL END AS walk_str,
+         th.t AS thr
+  FROM walks w
+  JOIN sup s1 ON s1.p = w.w1
+  JOIN sup s3 ON s3.p = w.w3
+  CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest([0.2, 0.3]) AS t) th
+),
+kept AS (SELECT DISTINCT w0 AS entity, walk_str FROM recon
+         WHERE walk_str IS NOT NULL),
+fallback AS (
+  SELECT DISTINCT r.w0 AS entity, r.w0 AS walk_str
+  FROM recon r
+  GROUP BY r.w0, r.thr
+  HAVING count(walk_str) = 0
+)
+SELECT entity, walk_str FROM kept
+UNION
+SELECT entity, walk_str FROM fallback
+"""
+
+# n-gram key separator chr(1) matches Spark's char(1) in ngram_walks
+# (an explicit separator prevents ('ab','c') vs ('a','bc') collisions)
+_NGRAM_SQL = f"""{_EDGES_CTE},{_CW_CTE},
+walks AS (SELECT DISTINCT w0, w1, w2, w3, w4 FROM cw),
+keys AS (SELECT DISTINCT w2 || chr(1) || w3 || chr(1) || w4 AS k FROM walks),
+ids AS (SELECT k, CAST(dense_rank() OVER (ORDER BY k) - 1 AS STRING) AS gid
+        FROM keys)
+SELECT DISTINCT w0 AS entity,
+       w0 || '->' || w1 || '->' || w2 || '->' || w3 || '->' || i.gid
+         AS walk_str
+FROM walks JOIN ids i ON i.k = w2 || chr(1) || w3 || chr(1) || w4
+"""
+
+
+def _wl_depth1_sql() -> str:
+    return f"""{_EDGES_CTE},
+d1 AS (SELECT src AS w0, pred AS w1, dst AS w2 FROM edges
+       WHERE src LIKE 'c:%'),
+sfx AS (SELECT dst AS name, string_agg(DISTINCT pred, '-' ORDER BY pred)
+          AS s FROM edges GROUP BY dst),
+raw AS (SELECT name, name || '-' || coalesce(s, '') AS raw_label FROM sfx),
+lab AS (SELECT name, {_duck_md5_repr('raw_label')} AS label FROM raw)
+SELECT DISTINCT w0 AS entity, w0 || '->' || w1 || '->' || w2 AS walk_str
+FROM d1
+UNION
+SELECT DISTINCT w0, w0 || '->' || w1 || '->' || l.label
+FROM d1 JOIN lab l ON l.name = w2
+"""
+
+
 # planted ground truth of the synthetic generator, computed straight
 # from the md5 arithmetic (sources/transcripts._turn_fields) — matching
 # the Spark side's regex-extracted output certifies P/R = 1.0
@@ -802,6 +918,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.name, coalesce(i.deg, 0) AS deg
             FROM names n LEFT JOIN indeg i USING (name)
         """,
+        "walk_walklet": _WALKLET_SQL,
+        "walk_halk": _HALK_SQL,
+        "walk_ngram": _NGRAM_SQL,
+        "walk_wl_depth1": _wl_depth1_sql(),
         "text_token_stats": _TOKSTATS_SQL,
         "text_quality": _QUALITY_SQL,
         "text_langid": _LANGID_SQL,

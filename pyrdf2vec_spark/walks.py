@@ -618,7 +618,7 @@ def ngram_walks(
         "ngram_key",
         F.expr(
             f"array_join(slice(walk, greatest(1, i - {grams - 1} + 1), "
-            f"i + 1 - greatest(1, i - {grams - 1} + 1) + 1), '')"
+            f"i + 1 - greatest(1, i - {grams - 1} + 1) + 1), char(1))"
         ),
     )
     ids = (
@@ -744,7 +744,7 @@ def wl_labels(kg: SparkKG, wl_iterations: int, md5_bytes: int | None = 8) -> Dat
     """
     e = kg.edges
     occ = e.select(
-        F.concat_ws("", "src", "pred", "dst").alias("node"),
+        F.concat_ws("|", "src", "pred", "dst").alias("node"),
         F.col("pred").alias("name"),
         F.col("src").alias("subj"),
         F.col("dst").alias("obj"),
