@@ -150,19 +150,25 @@ def _q_split_degrees(spark, sf):
 
 
 def _q_pagerank(spark, sf):
+    # fixed 20 iterations (tol=0) so the DuckDB unrolled-CTE oracle
+    # replicates the exact same computation
     from pyrdf2vec_spark.samplers import pagerank
 
-    return pagerank(_kg(spark, sf), alpha=0.85, max_iter=30).select(
-        "name", F.round("rank", 8).alias("rank")
+    return pagerank(_kg(spark, sf), alpha=0.85, max_iter=20, tol=0.0).select(
+        "name", F.round("rank", 6).alias("rank")
     )
 
 
 def _q_walks_dfs(spark, sf):
+    # order seeds (real branching: placed_by + one contains edge per
+    # lineitem) with the engine-portable md5 hash so the weighted draw
+    # is replicated exactly by the DuckDB oracle
     from pyrdf2vec_spark.walks import sampled_walks
 
     kg = _kg(spark, sf)
+    seeds = kg.entity_names().where(F.col("name").startswith("o:"))
     return sampled_walks(
-        kg, _customer_seeds(kg), 2, 3, sampler="objfreq", seed=42
+        kg, seeds, 2, 3, sampler="objfreq", seed=42, portable_hash=True
     ).select("entity", F.array_join("walk", "->").alias("walk_str"))
 
 
@@ -821,6 +827,98 @@ trip AS (
 SELECT DISTINCT subj, pred, obj FROM trip
 """
 
+def _dfs_sql(max_walks: int = 3, seed: int = 42) -> str:
+    """Unrolled 2-depth replica of sampled_walks(portable_hash=True) for
+    order seeds: per (slot, depth) pick argmin of -ln(u)/w over the
+    candidate hops, u = md5-derived uniform, w = objfreq raw weight,
+    ties broken by (pred, dst)."""
+
+    def step(k: int, cur: str, prev_cte: str) -> str:
+        u = (
+            f"((('0x' || substr(md5(s.entity || '|' || CAST(s.wid AS STRING) "
+            f"|| '|' || '{k}' || '|' || e.pred || '|' || e.dst || '|' || "
+            f"'{seed}'), 1, 8))::BIGINT)::DOUBLE + 0.5) / 4294967296.0"
+        )
+        return f"""
+cand{k} AS (SELECT s.*, e.pred AS p{k}, e.dst AS o{k},
+                  -ln({u}) / w.wt AS key{k}
+            FROM {prev_cte} s
+            JOIN edges e ON e.src = {cur}
+            JOIN wts w ON w.dst = e.dst AND w.pred = e.pred
+                      AND w.src = e.src),
+pick{k} AS (SELECT * FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY entity, wid
+                ORDER BY key{k}, p{k}, o{k}) AS rn{k}
+              FROM cand{k}) WHERE rn{k} = 1)"""
+
+    wids = ", ".join(str(i) for i in range(max_walks))
+    return f"""WITH edges AS MATERIALIZED ({TPCH_EDGES_SQL}),
+wts AS MATERIALIZED (
+  SELECT e.src, e.pred, e.dst, CAST(c.weight AS DOUBLE) AS wt
+  FROM edges e JOIN (SELECT dst, count(*) AS weight FROM edges
+                     GROUP BY dst) c ON c.dst = e.dst),
+slots AS (SELECT o.entity, t.wid
+          FROM (SELECT DISTINCT src AS entity FROM edges
+                WHERE src LIKE 'o:%') o,
+               (SELECT unnest([{wids}]) AS wid) t),
+{step(0, "s.entity", "slots").lstrip()},
+{step(1, "s.o0", "pick0").lstrip()}
+SELECT entity, entity || '->' || p0 || '->' || o0 || '->' || p1 || '->' || o1
+         AS walk_str
+FROM pick1
+"""
+
+
+def _pagerank_sql(alpha: float = 0.85, iters: int = 20) -> str:
+    """Unrolled power-iteration PageRank (networkx semantics: uniform
+    teleport, dangling mass redistributed uniformly) — one CTE pair per
+    iteration, matching samplers.pagerank in fixed-iteration mode."""
+    # MATERIALIZED: DuckDB otherwise inlines each CTE reference, opening
+    # the parquet scans once per unrolled iteration (fd exhaustion)
+    head = f"""WITH edges AS MATERIALIZED ({TPCH_EDGES_SQL}),
+links AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS name FROM links
+          UNION SELECT DISTINCT dst FROM links),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM links GROUP BY src),
+cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT name, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        # every iteration CTE is MATERIALIZED: r{{k}} is referenced twice
+        # (dangling + contribution) — inlining would blow up 2^iters
+        parts.append(f""",
+d{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm
+         FROM r{p} r LEFT JOIN deg ON deg.src = r.name
+         WHERE deg.src IS NULL),
+c{k} AS MATERIALIZED (SELECT l.dst AS name, sum(r.rank / deg.d) AS insum
+         FROM links l JOIN deg ON deg.src = l.src
+         JOIN r{p} r ON r.name = l.src GROUP BY l.dst),
+r{k} AS MATERIALIZED (SELECT nd.name,
+                (1.0 - {alpha}) / (SELECT n FROM cnt)
+                + {alpha} * (coalesce(c.insum, 0.0)
+                             + (SELECT dm FROM d{k}) / (SELECT n FROM cnt))
+                  AS rank
+         FROM nodes nd LEFT JOIN c{k} c USING (name))""")
+    parts.append(f"\nSELECT name, round(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+_NEARDUP_SQL = (
+    """
+WITH e AS (
+  SELECT vec_id AS id, embedding AS v,
+         CAST(embedding[1] >= 0 AS STRING) || CAST(embedding[2] >= 0 AS STRING)
+           AS block
+  FROM embeddings
+)
+SELECT x.id AS a, y.id AS b, round({COS}, 6) AS cosine
+FROM e x JOIN e y USING (block)
+WHERE x.id < y.id AND {COS} >= 0.5
+"""
+)
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -910,6 +1008,8 @@ def oracle_sql() -> dict[str, str]:
                      AS norm_weight
             FROM edges e JOIN w ON w.dst = e.dst
         """,
+        "pagerank": _pagerank_sql(0.85, 20),
+        "walks_dfs_sampled": _dfs_sql(3, 42),
         "split_degrees": f"""{_EDGES_CTE},
             names AS (SELECT DISTINCT src AS name FROM edges
                       UNION SELECT DISTINCT dst FROM edges),
@@ -938,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _EMB_TOPK_SQL,
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "wl_labels_n1": _WL_N1_SQL,
+        "embed_neardup": _NEARDUP_SQL.format(COS=_cos_sql("x.v", "y.v")),
         "multimodal_features": _MULTIMODAL_SQL,
         "transcript_triples": _TRANSCRIPT_TRIPLES_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,

@@ -184,13 +184,18 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        err = (
-            new_ranks.join(
-                ranks.withColumnRenamed("rank", "old_rank"), "name"
+        if tol > 0:
+            err = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "old_rank"), "name"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))))
+                .first()[0]
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))))
-            .first()[0]
-        )
+        else:
+            # tol <= 0 → fixed-iteration mode (deterministic plan shape,
+            # no per-iteration convergence collect)
+            err = None
         if hasattr(ranks, "unpersist"):
             ranks.unpersist()
         ranks = new_ranks

@@ -114,9 +114,15 @@ def sampled_walks(
     alpha: float = 0.85,
     seed: int = 42,
     is_reverse: bool = False,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Exactly ``max_walks`` root-anchored walks per entity, each hop drawn
     with probability proportional to the sampler weight.
+
+    ``portable_hash=True`` derives the per-candidate uniform from md5
+    instead of xxhash64 — engine-independent (DuckDB-oracle-checkable)
+    at slightly higher hash cost; the default stays on xxhash64 for the
+    hot path.
 
     The reference draws hops sequentially with a shared ``visited`` set
     (sampler.py:159-171) — inherently single-threaded state. We reproduce
@@ -176,32 +182,58 @@ def sampled_walks(
         )
         finished = dead if finished is None else finished.unionByName(dead)
         live = joined.where(F.col("pred").isNotNull())
+        other = F.col("src") if is_reverse else F.col("dst")
         # deterministic u ∈ (0,1) per (slot, depth, candidate)
-        u = (
-            (
-                F.pmod(
-                    F.xxhash64(
-                        F.col("entity"),
-                        F.col("walk_id"),
-                        F.lit(depth),
-                        F.col("pred"),
-                        F.col("dst") if not is_reverse else F.col("src"),
-                        F.lit(seed),
+        if portable_hash:
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("entity"),
+                                F.col("walk_id"),
+                                F.lit(depth),
+                                F.col("pred"),
+                                other,
+                                F.lit(seed),
+                            )
+                        ),
+                        1,
+                        8,
                     ),
-                    F.lit(2**31 - 1),
+                    16,
+                    10,
                 ).cast("double")
-                + F.lit(1.0)
+                + F.lit(0.5)
+            ) / F.lit(float(2**32))
+        else:
+            u = (
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            F.col("entity"),
+                            F.col("walk_id"),
+                            F.lit(depth),
+                            F.col("pred"),
+                            other,
+                            F.lit(seed),
+                        ),
+                        F.lit(2**31 - 1),
+                    ).cast("double")
+                    + F.lit(1.0)
+                )
+                / F.lit(float(2**31))
             )
-            / F.lit(float(2**31))
-        )
         race_key = -F.log(u) / F.col("norm_weight")
         picked = live.groupBy("entity", "walk_id").agg(
             F.min_by(
                 F.struct(
                     F.col("pred").alias("p"),
-                    (F.col("src") if is_reverse else F.col("dst")).alias("o"),
+                    other.alias("o"),
                 ),
-                race_key,
+                # pred/other tiebreak makes near-tie picks deterministic
+                F.struct(race_key.alias("k"), F.col("pred"), other),
             ).alias("hop"),
             F.first("walk").alias("walk"),
         )
