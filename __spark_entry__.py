@@ -309,11 +309,15 @@ def _q_events_sessionize(spark, sf):
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # microsecond precision: second-truncated casts flip the 1800 s
+    # boundary on gaps in (1799, 1801] vs the fractional-epoch oracle
+    epoch = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
     gap = epoch - F.lag(epoch).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     sess = flagged.withColumn(
         "session_id", F.sum("new_session").over(w)
@@ -930,12 +934,13 @@ FROM documents WHERE doc_id < 200
 _EVENTS_SESSION_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
-         epoch(ts) - lag(epoch(ts)) OVER
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
            (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ), f AS (
   SELECT user_id,
-         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+           AS new_session
   FROM g
 )
 SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events

@@ -134,10 +134,17 @@ def sampled_walks(
     fully deterministic given ``seed``.
     """
     weights = edge_weights(kg, sampler, alpha=alpha)
+    # candidate-hop geometry flips under is_reverse: the reference draws
+    # PREDECESSORS via get_hops(walk[0], True) (sampler.py:155-160), so
+    # the candidate set for head h is {edges with dst == h} and the hop
+    # vertex is the edge's src — the per-set normalization groups by dst
+    # and the split division uses the src vertex's degree
+    set_col, hop_col = ("dst", "src") if is_reverse else ("src", "dst")
     if inverse:
         # inverse needs the per-candidate-set max/min (sampler.py:124-127)
         norm = normalize_hop_weights(
-            weights, ["src"], kg=kg, inverse=True, split=split
+            weights, [set_col], kg=kg, inverse=True, split=split,
+            obj_col=hop_col,
         )
     else:
         # the exponential-race argmin is invariant under positive scaling
@@ -148,9 +155,9 @@ def sampled_walks(
         if split:
             from pyrdf2vec_spark.samplers import split_degrees
 
-            degs = split_degrees(kg).withColumnRenamed("name", "dst")
+            degs = split_degrees(kg).withColumnRenamed("name", hop_col)
             norm = (
-                norm.join(degs, "dst", "left")
+                norm.join(degs, hop_col, "left")
                 .where(F.coalesce(F.col("deg"), F.lit(0)) != 0)
                 .withColumn("norm_weight", F.col("norm_weight") / F.col("deg"))
                 .drop("deg")
@@ -172,8 +179,9 @@ def sampled_walks(
     finished: DataFrame | None = None
     for depth in range(max_depth):
         if is_reverse:
+            # head extends by its INCOMING edges (predecessor hops)
             key = F.element_at(F.col("walk"), 1)
-            joined = walks.join(norm, key == norm["src"], "left")
+            joined = walks.join(norm, key == norm["dst"], "left")
         else:
             key = F.element_at(F.col("walk"), -1)
             joined = walks.join(norm, key == norm["src"], "left")

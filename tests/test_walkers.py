@@ -449,3 +449,56 @@ class TestExtractWalks:
         # max_walks² combinations per entity (random.py:134-139)
         for ent, ws in by_ent.items():
             assert len(ws) == 4
+
+    def test_reverse_sampled_walks_move(self, spark):
+        # A -p-> B -q-> C -r-> A: reverse sampled walks from B must walk
+        # PREDECESSORS — exactly [C, r, A, p, B]; the pre-fix bug joined
+        # candidates on src and emitted [B, q, B, q, B] (stationary)
+        from pyrdf2vec_spark.graph import SparkKG
+
+        kg = SparkKG(spark.createDataFrame(
+            [("A", "p", "B"), ("B", "q", "C"), ("C", "r", "A")],
+            "subj string, pred string, obj string",
+        ))
+        seeds = spark.createDataFrame([("B",)], "name string")
+        got = walks_set(
+            sampled_walks(kg, seeds, 2, 2, is_reverse=True, seed=7)
+        )
+        assert got == {("B", ("C", "r", "A", "p", "B"))}
+
+    def test_reverse_sampled_branching_distribution(self, spark):
+        # two predecessors of B: every reverse walk is a genuine
+        # predecessor path, and both appear across enough walk slots
+        from pyrdf2vec_spark.graph import SparkKG
+
+        kg = SparkKG(spark.createDataFrame(
+            [("A", "p", "B"), ("C", "q", "B")],
+            "subj string, pred string, obj string",
+        ))
+        seeds = spark.createDataFrame([("B",)], "name string")
+        got = walks_set(
+            sampled_walks(kg, seeds, 1, 64, is_reverse=True, seed=3)
+        )
+        assert got == {
+            ("B", ("A", "p", "B")),
+            ("B", ("C", "q", "B")),
+        }
+
+    def test_reverse_sampled_inverse_mode_runs(self, kg_loop, roots):
+        # inverse + split normalization under is_reverse groups by dst
+        # and divides by the PREDECESSOR's degree — content sanity: all
+        # walks end at their root and hop backwards through real edges
+        got = sampled_walks(
+            kg_loop, roots, 2, 2, sampler="objfreq",
+            inverse=True, split=True, is_reverse=True, seed=11,
+        )
+        edges = {(s, p, o) for s, p, o in [
+            (uri("Alice"), uri("knows"), uri("Bob")),
+            (uri("Alice"), uri("knows"), uri("Dean")),
+            (uri("Bob"), uri("knows"), uri("Dean")),
+            (uri("Dean"), uri("loves"), uri("Alice")),
+        ]}
+        for ent, w in walks_set(got):
+            assert w[-1] == ent
+            for i in range(0, len(w) - 2, 2):
+                assert (w[i], w[i + 1], w[i + 2]) in edges
