@@ -271,6 +271,16 @@ def _q_dedup_simhash_pairs(spark, sf):
     )
 
 
+def _q_dedup_simhash_pairs_h2(spark, sf):
+    # max_hamming=2 exercises the 3-band pigeonhole blocking — the
+    # two-half scheme this replaced silently dropped 1+1-split pairs
+    from pyrdf2vec_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf).where(F.col("doc_id") < 400), bits=16, max_hamming=2
+    )
+
+
 def _q_embed_topk(spark, sf):
     from pyrdf2vec_spark.functions.similarity import brute_force_topk
 
@@ -291,7 +301,7 @@ def _q_embed_neardup(spark, sf):
     from pyrdf2vec_spark.functions.dedup import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.5)
+    return embedding_neardup_pairs(emb, threshold=0.35)
 
 
 def _q_events_hourly(spark, sf):
@@ -385,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_simhash_pairs_h2": _q_dedup_simhash_pairs_h2,
         "embed_topk": _q_embed_topk,
         "embed_ivf_topk": _q_embed_ivf_topk,
         "embed_neardup": _q_embed_neardup,
@@ -640,19 +651,27 @@ FROM verified JOIN docs da ON da.name = a JOIN docs db ON db.name = b
 """
 
 
-_SIMHASH_PAIRS_SQL = f"""
+def _simhash_pairs_sql(bits: int, max_hamming: int) -> str:
+    """Replica of simhash_pairs banding: max_hamming+1 contiguous bands,
+    per-band equi-join, exact Hamming verify."""
+    from pyrdf2vec_spark.functions.dedup import simhash_band_widths
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, (simhash // {2**start}) % {2**width} "
+        f"AS block, {which} AS which FROM sig"
+        for which, (start, width) in enumerate(
+            simhash_band_widths(bits, max_hamming)
+        )
+    )
+    return f"""
 WITH sig AS ({_SIMHASH_SQL}),
-blocks AS (
-  SELECT doc_id, simhash, simhash % 256 AS block, 0 AS which FROM sig
-  UNION ALL
-  SELECT doc_id, simhash, simhash // 256 AS block, 1 AS which FROM sig
-),
+blocks AS ({band_rows}),
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                 x.simhash AS ha, y.simhash AS hb
          FROM blocks x JOIN blocks y USING (block, which)
          WHERE x.doc_id < y.doc_id)
 SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 _IVF_TOPK_SQL_TEMPLATE = (
@@ -909,17 +928,28 @@ r{k} AS MATERIALIZED (SELECT nd.name,
     return "".join(parts)
 
 
+# IVF-cell blocking replica: same centroid choice as the IVF oracle,
+# top-2 probe cells per vector, pairs compared within shared cells
 _NEARDUP_SQL = (
     """
-WITH e AS (
-  SELECT vec_id AS id, embedding AS v,
-         CAST(embedding[1] >= 0 AS STRING) || CAST(embedding[2] >= 0 AS STRING)
-           AS block
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING))) - 1
+           AS centroid_id,
+         embedding AS centroid
   FROM embeddings
-)
-SELECT x.id AS a, y.id AS b, round({COS}, 6) AS cosine
-FROM e x JOIN e y USING (block)
-WHERE x.id < y.id AND {COS} >= 0.5
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING))) <= 16
+),
+probed AS (
+  SELECT vec_id AS id, embedding AS v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {COS_VC} DESC, centroid_id ASC)
+           AS prank
+  FROM embeddings, cents
+),
+asg AS (SELECT id, v, centroid_id FROM probed WHERE prank <= 2)
+SELECT DISTINCT x.id AS a, y.id AS b, round({COS}, 6) AS cosine
+FROM asg x JOIN asg y USING (centroid_id)
+WHERE x.id < y.id AND {COS} >= 0.35
 """
 )
 
@@ -1039,11 +1069,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_simhash": _SIMHASH_SQL,
-        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "dedup_simhash_pairs": _simhash_pairs_sql(16, 1),
+        "dedup_simhash_pairs_h2": _simhash_pairs_sql(16, 2),
         "embed_topk": _EMB_TOPK_SQL,
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "wl_labels_n1": _WL_N1_SQL,
-        "embed_neardup": _NEARDUP_SQL.format(COS=_cos_sql("x.v", "y.v")),
+        "embed_neardup": _NEARDUP_SQL.format(
+            COS=_cos_sql("x.v", "y.v"),
+            COS_VC=_cos_sql("embedding", "centroid"),
+        ),
         "multimodal_features": _MULTIMODAL_SQL,
         "transcript_triples": _TRANSCRIPT_TRIPLES_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,

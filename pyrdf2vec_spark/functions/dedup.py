@@ -122,8 +122,13 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     Token hash = 60-bit int from md5 hex (engine-independent); bit b of
     the signature is 1 when the majority of tokens set it. Explode
     tokens × extract bits with integer ops, then one groupBy — scales
-    as n_tokens × bits rows, shuffle-bounded.
+    as n_tokens × bits rows, shuffle-bounded. Supports bits ≤ 64 (the
+    signature assembles via bitwise OR of shifted bits, so bit 63 lands
+    in the sign bit of the bigint without overflow); 64 is the right
+    width for real corpora, 16 keeps the oracle replica tractable.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     toks = documents.select(
         "doc_id",
         F.explode(
@@ -132,47 +137,75 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     )
+    # token hash is 60 bits; bits 60-63 derive from a second hex slice
+    hi = F.conv(F.substring(F.md5("tok"), 16, 2), 16, 10).cast("bigint")
+    toks = toks.withColumn("h2", hi)
+
+    def bit_of(b: int):
+        if b < 60:
+            return F.shiftrightunsigned(F.col("h"), b) % 2
+        return F.shiftrightunsigned(F.col("h2"), b - 60) % 2
+
     bit_votes = toks.select(
         "doc_id",
-        *[
-            (
-                (F.shiftright(F.col("h"), b) % 2) * 2 - 1
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ],
+        *[(bit_of(b) * 2 - 1).alias(f"b{b}") for b in range(bits)],
     )
     agg = bit_votes.groupBy("doc_id").agg(
         *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
     )
-    sig = agg.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-                for b in range(bits)
-            ],
-            F.lit(0),
-        ).cast("bigint").alias("simhash"),
-    )
-    return sig
+    sig_col = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig_col = sig_col.bitwiseOR(
+            F.when(
+                F.col(f"s{b}") > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return agg.select("doc_id", sig_col.alias("simhash"))
+
+
+def simhash_band_widths(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(start, width) for ``max_hamming + 1`` contiguous bands: by
+    pigeonhole, two signatures within Hamming distance max_hamming agree
+    on at least one full band — the guarantee two-half blocking lacks at
+    distance 2 (a 1+1 split across the halves matches neither)."""
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError("max_hamming + 1 bands need max_hamming < bits")
+    base, rem = divmod(bits, nb)
+    out, start = [], 0
+    for b in range(nb):
+        width = base + (1 if b < rem else 0)
+        out.append((start, width))
+        start += width
+    return out
 
 
 def simhash_pairs(
     documents: DataFrame, bits: int = 16, max_hamming: int = 2
 ) -> DataFrame:
-    """Near-dup candidates whose SimHash differs in ≤ max_hamming bits.
-    Blocked by the signature's two halves (a pair within distance 2 of
-    a 16-bit hash shares at least one half) — avoids the all-pairs join."""
+    """Near-dup pairs whose SimHash differs in ≤ max_hamming bits.
+
+    Blocking: the signature splits into ``max_hamming + 1`` bands and
+    candidates join per-band (pigeonhole: ≤ max_hamming flips leave at
+    least one band untouched) — sound at every max_hamming, unlike the
+    fixed two-half scheme. Each band is an exact-match key, so posting
+    lists shrink exponentially with band width; at corpus scale pair it
+    with 64-bit signatures so the ~bits/(max_hamming+1)-bit band values
+    spread over 2^21 buckets instead of 2^8.
+    """
     sig = simhash(documents, bits).persist()
-    half = bits // 2
-    lo = sig.select(
-        "doc_id", "simhash", (F.col("simhash") % (2**half)).alias("block")
-    ).withColumn("which", F.lit(0))
-    hi = sig.select(
-        "doc_id", "simhash",
-        F.shiftright(F.col("simhash"), half).alias("block"),
-    ).withColumn("which", F.lit(1))
-    blocks = lo.unionByName(hi)
+    bands = simhash_band_widths(bits, max_hamming)
+    blocks = None
+    for which, (start, width) in enumerate(bands):
+        band_val = F.shiftrightunsigned(F.col("simhash"), start) % (
+            2**width
+        )
+        part = sig.select(
+            "doc_id", "simhash", band_val.alias("block"),
+            F.lit(which).alias("which"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
     a = blocks.select(
         F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
         "block", "which",
@@ -187,34 +220,46 @@ def simhash_pairs(
         .select("a", "b", "ha", "hb")
         .distinct()
     )
-    xor = F.expr("ha ^ hb")
-    hamming = sum(
-        [(F.shiftright(xor, i) % 2) for i in range(bits)], F.lit(0)
-    )
-    out = cand.withColumn("hamming", hamming.cast("int")).where(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.expr("ha ^ hb")).cast("int")
+    ).where(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
     return out
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.98, id_col: str = "vec_id",
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probes: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates above a threshold. Exact
-    variant: all-pairs restricted by a coarse LSH sign-bucket (first
-    two components' signs) to bound the join; at 100 TB swap the
-    blocking for the IVF path in similarity.py."""
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(
-            f"concat(CAST({vec_col}[0] >= 0 AS STRING), "
-            f"CAST({vec_col}[1] >= 0 AS STRING))"
-        ).alias("block"),
+    """Embedding-cosine near-duplicate pairs above a threshold,
+    APPROXIMATE by IVF-cell blocking: every vector is assigned to its
+    ``n_probes`` nearest of ``n_centroids`` coarse centroids and pairs
+    are compared only within a shared cell. Candidate count is
+    ~N²·probes²/C per cell group instead of the all-pairs N² (the
+    earlier 2-sign-bit scheme was N²/4 — an anti-pattern at scale).
+    Recall rises with n_probes; near-identical vectors (cosine ≥ 0.98)
+    land in the same top cell almost surely, but cell-boundary pairs
+    can be missed — this is a blocking recall trade-off, not an exact
+    operator. Grow n_centroids ∝ corpus size to bound cell populations.
+    """
+    from pyrdf2vec_spark.functions.similarity import (
+        ivf_centroids,
+        ivf_probe_assign,
     )
-    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "block")
-    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "block")
+
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_probe_assign(
+        embeddings, cents, n_probes=n_probes, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), "centroid_id"
+    )
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
@@ -226,9 +271,10 @@ def embedding_neardup_pairs(
         "aggregate(vb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x)"
     ))
     return (
-        a.join(b, "block")
+        a.join(b, "centroid_id")
         .where(F.col("a") < F.col("b"))
         .withColumn("cosine", dot / (na * nb))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .distinct()  # a pair may share several probed cells
     )

@@ -65,16 +65,27 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic coarse centroids: the vectors whose ids hash into
-    the first n_centroids slots (cheap, seedless k-means-free choice —
-    one Lloyd round could refine later; ANN quality, not exactness,
-    is the contract)."""
-    win = Window.orderBy(F.md5(F.col("cid").cast("string")))
-    return (
-        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
-        .withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") <= n_centroids)
-        .select((F.col("rn") - 1).alias("centroid_id"), "centroid")
+    """Deterministic coarse centroids: the n vectors whose md5(id) sorts
+    first (cheap, seedless, k-means-free choice — one Lloyd round could
+    refine later; ANN quality, not exactness, is the contract).
+
+    orderBy().limit(n) compiles to TakeOrderedAndProject — per-partition
+    top-n then a driver-side merge of n·P candidates — so the full
+    corpus never funnels through one partition (the previous global
+    no-partitionBy Window did exactly that). The id-assigning window
+    below runs AFTER the limit, over n rows only.
+    """
+    chosen = (
+        embeddings.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid")
+        )
+        .withColumn("ord", F.md5(F.col("cid").cast("string")))
+        .orderBy("ord")
+        .limit(n_centroids)
+    )
+    win = Window.orderBy("ord")  # n_centroids rows — trivially single-node
+    return chosen.select(
+        (F.row_number().over(win) - 1).alias("centroid_id"), "centroid"
     )
 
 
@@ -95,6 +106,31 @@ def ivf_assign(
             "centroid_id"
         ),
         F.first("v").alias("v"),
+    )
+
+
+def ivf_probe_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: every vector keeps its ``n_probes``
+    max-cosine centroids (one row per (vector, cell)). n_probes=1
+    degenerates to ivf_assign. Broadcast centroid join + per-vector
+    window over C rows — narrow, no corpus-wide shuffle."""
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = e.join(F.broadcast(centroids)).withColumn(
+        "sim", _cosine("v", "centroid")
+    )
+    win = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        joined.withColumn("prank", F.row_number().over(win))
+        .where(F.col("prank") <= n_probes)
+        .select("id", "v", "centroid_id")
     )
 
 

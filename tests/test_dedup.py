@@ -1,0 +1,129 @@
+"""Dedup operator tests: SimHash banding soundness (the pigeonhole
+guarantee the old two-half blocking lacked), brute-force recall
+differential, and 64-bit signature support."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrdf2vec_spark.functions.dedup import (
+    exact_dedup,
+    simhash,
+    simhash_band_widths,
+    simhash_pairs,
+)
+
+
+def _rand_docs(spark, n=160, seed=1234):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(4, 9))))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBandWidths:
+    def test_partition_of_bits(self):
+        for bits, mh in [(16, 1), (16, 2), (16, 3), (64, 2), (64, 7)]:
+            bands = simhash_band_widths(bits, mh)
+            assert len(bands) == mh + 1
+            covered = []
+            for start, width in bands:
+                covered.extend(range(start, start + width))
+            assert covered == list(range(bits))
+
+    def test_pigeonhole_guarantee_exhaustive(self):
+        # every ≤2-flip pattern on 16 bits leaves at least one of the
+        # 3 bands untouched; the 2-half scheme fails this for 1+1 splits
+        bands = simhash_band_widths(16, 2)
+        for flips in itertools.chain(
+            itertools.combinations(range(16), 1),
+            itertools.combinations(range(16), 2),
+        ):
+            untouched = [
+                (s, w)
+                for s, w in bands
+                if not any(s <= f < s + w for f in flips)
+            ]
+            assert untouched, f"no safe band for flips {flips}"
+
+    def test_too_many_bands_raises(self):
+        with pytest.raises(ValueError):
+            simhash_band_widths(4, 4)
+
+
+class TestSimhashPairs:
+    def test_full_recall_vs_brute_force_h2(self, spark):
+        # blocking must find EVERY pair within distance 2 — differential
+        # against the unblocked all-pairs computation
+        docs = _rand_docs(spark)
+        sig = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(docs, bits=16).collect()
+        }
+        expect = {
+            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            for a, b in itertools.combinations(sorted(sig), 2)
+            if bin(sig[a] ^ sig[b]).count("1") <= 2
+        }
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_pairs(docs, bits=16, max_hamming=2).collect()
+        }
+        assert got == expect
+        # the regression this guards: at least one found pair has its two
+        # flipped bits split across the 8/8 halves, so NEITHER half
+        # matches — the old two-half blocking silently dropped it
+        split_pairs = [
+            (a, b)
+            for a, b, h in expect
+            if h == 2
+            and (sig[a] & 0xFF) != (sig[b] & 0xFF)
+            and (sig[a] >> 8) != (sig[b] >> 8)
+        ]
+        assert split_pairs, "corpus seed no longer produces a 1+1 split"
+
+    def test_h1_subset_of_h2(self, spark):
+        docs = _rand_docs(spark, n=80, seed=7)
+        h1 = {
+            (r["a"], r["b"])
+            for r in simhash_pairs(docs, bits=16, max_hamming=1).collect()
+        }
+        h2 = {
+            (r["a"], r["b"])
+            for r in simhash_pairs(docs, bits=16, max_hamming=2).collect()
+        }
+        assert h1 <= h2
+
+    def test_64bit_signatures(self, spark):
+        docs = _rand_docs(spark, n=50, seed=99)
+        rows = simhash(docs, bits=64).collect()
+        assert len(rows) == 50
+        # high bits actually vary (bit 63 may be set → negative bigint)
+        highs = {r["simhash"] >> 48 & 0xFFFF for r in rows}
+        assert len(highs) > 1
+        pairs = simhash_pairs(docs, bits=64, max_hamming=3)
+        assert pairs.columns == ["a", "b", "hamming"]
+        assert all(r["hamming"] <= 3 for r in pairs.collect())
+
+    def test_16bit_signature_matches_legacy_sum_form(self, spark):
+        # OR-assembly must equal the old arithmetic sum for bits < 63
+        docs = _rand_docs(spark, n=30, seed=5)
+        rows = simhash(docs, bits=16).collect()
+        assert all(0 <= r["simhash"] < 2**16 for r in rows)
+
+
+class TestExactDedup:
+    def test_groups(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["n_dups"], r["keep_id"]) for r in exact_dedup(docs).collect()
+        }
+        assert got == {(2, 1), (1, 3)}
