@@ -172,6 +172,20 @@ def _q_walks_dfs(spark, sf):
     ).select("entity", F.array_join("walk", "->").alias("walk_str"))
 
 
+def _q_walks_dfs_canonical(spark, sf):
+    # fused sampled-DFS + md5 tokenization (no driver-side seed
+    # collect); same portable-hash draws as walks_dfs_sampled, so the
+    # oracle is the same unrolled replica with md5-repr'd hop vertices
+    from pyrdf2vec_spark.walks import dfs_canonical_walks
+
+    kg = _kg(spark, sf)
+    seeds = kg.entity_names().where(F.col("name").startswith("o:"))
+    return dfs_canonical_walks(
+        kg, seeds, 2, 3, md5_bytes=8, sampler="objfreq", seed=42,
+        portable_hash=True,
+    ).select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
 def _q_wl_labels(spark, sf):
     from pyrdf2vec_spark.walks import wl_labels
 
@@ -385,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_degrees": _q_split_degrees,
         "pagerank": _q_pagerank,
         "walks_dfs_sampled": _q_walks_dfs,
+        "walks_dfs_canonical": _q_walks_dfs_canonical,
         "wl_labels_n1": _q_wl_labels,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -850,11 +865,12 @@ trip AS (
 SELECT DISTINCT subj, pred, obj FROM trip
 """
 
-def _dfs_sql(max_walks: int = 3, seed: int = 42) -> str:
+def _dfs_sql(max_walks: int = 3, seed: int = 42, canonical: bool = False) -> str:
     """Unrolled 2-depth replica of sampled_walks(portable_hash=True) for
     order seeds: per (slot, depth) pick argmin of -ln(u)/w over the
     candidate hops, u = md5-derived uniform, w = objfreq raw weight,
-    ties broken by (pred, dst)."""
+    ties broken by (pred, dst). ``canonical=True`` md5-tokenizes
+    non-seed hop vertices (the dfs_canonical_walks fusion) and dedups."""
 
     def step(k: int, cur: str, prev_cte: str) -> str:
         u = (
@@ -876,6 +892,22 @@ pick{k} AS (SELECT * FROM (
               FROM cand{k}) WHERE rn{k} = 1)"""
 
     wids = ", ".join(str(i) for i in range(max_walks))
+    if canonical:
+        tok0 = (
+            f"CASE WHEN o0 LIKE 'o:%' THEN o0 ELSE {_duck_md5_repr('o0')} END"
+        )
+        tok1 = (
+            f"CASE WHEN o1 LIKE 'o:%' THEN o1 ELSE {_duck_md5_repr('o1')} END"
+        )
+        final = (
+            f"SELECT DISTINCT entity, entity || '->' || p0 || '->' || {tok0}"
+            f" || '->' || p1 || '->' || {tok1} AS walk_str\nFROM pick1"
+        )
+    else:
+        final = (
+            "SELECT entity, entity || '->' || p0 || '->' || o0 || '->' ||"
+            " p1 || '->' || o1 AS walk_str\nFROM pick1"
+        )
     return f"""WITH edges AS MATERIALIZED ({TPCH_EDGES_SQL}),
 wts AS MATERIALIZED (
   SELECT e.src, e.pred, e.dst, CAST(c.weight AS DOUBLE) AS wt
@@ -887,9 +919,7 @@ slots AS (SELECT o.entity, t.wid
                (SELECT unnest([{wids}]) AS wid) t),
 {step(0, "s.entity", "slots").lstrip()},
 {step(1, "s.o0", "pick0").lstrip()}
-SELECT entity, entity || '->' || p0 || '->' || o0 || '->' || p1 || '->' || o1
-         AS walk_str
-FROM pick1
+{final}
 """
 
 
@@ -1045,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(0.85, 20),
         "walks_dfs_sampled": _dfs_sql(3, 42),
+        "walks_dfs_canonical": _dfs_sql(3, 42, canonical=True),
         "split_degrees": f"""{_EDGES_CTE},
             names AS (SELECT DISTINCT src AS name FROM edges
                       UNION SELECT DISTINCT dst FROM edges),

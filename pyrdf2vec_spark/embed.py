@@ -32,7 +32,13 @@ class SparkWord2Vec:
         max_iter: int = 1,
         seed: int = 42,
         step_size: float = 0.025,
+        num_partitions: int = 1,
     ):
+        # num_partitions > 1 parallelizes skip-gram training across
+        # executors (MLlib defaults to 1 — single-task training, the
+        # fit-time bottleneck on big corpora) at the cost of exact
+        # run-to-run reproducibility — the same trade gensim makes with
+        # workers > 1 (reference pins workers=1 only in tests)
         self._w2v = (
             MLWord2Vec()
             .setInputCol("walk")
@@ -43,6 +49,7 @@ class SparkWord2Vec:
             .setMaxIter(max_iter)
             .setSeed(seed)
             .setStepSize(step_size)
+            .setNumPartitions(num_partitions)
         )
         self.model: Word2VecModel | None = None
 

@@ -10,6 +10,7 @@ that IS the checkpoint-resume contract.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -22,10 +23,28 @@ from pyrdf2vec_spark.extract import extract_triples, triples_only
 from pyrdf2vec_spark.graph import SparkKG
 from pyrdf2vec_spark.walks import (
     bfs_canonical_walks,
-    canonicalize_walks,
-    extract_walks,
+    combine_with_reverse,
+    dfs_canonical_walks,
     wl_walks,
 )
+
+
+def _df_fingerprint(df: DataFrame) -> str:
+    """Input-identity fingerprint for stage manifests: Catalyst's
+    semanticHash (covers source paths, schema, and — for local
+    relations — the literal data in the plan) plus the resolved input
+    file list. Plan-level, so no data scan; a file rewritten in place
+    with identical paths is the one case it cannot see, documented in
+    the manifest contract."""
+    try:
+        sh = str(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        sh = "0"
+    try:
+        files = "|".join(sorted(df.inputFiles()))
+    except Exception:
+        files = ""
+    return hashlib.md5(f"{sh}|{files}".encode()).hexdigest()[:16]
 
 
 class StageManifest:
@@ -102,6 +121,7 @@ class RDF2VecPipeline:
         self.embedder = SparkWord2Vec(vector_size=vector_size, seed=seed)
         self.walks_: DataFrame | None = None
         self.kg_: SparkKG | None = None
+        self._graph_fp: str | None = None
         self.timings_: dict[str, float] = {}
 
     # -- stage helper -------------------------------------------------
@@ -115,7 +135,11 @@ class RDF2VecPipeline:
                 return spark.read.parquet(hit["output_path"])
         df = build()
         if self.manifest:
-            out = os.path.join(self.manifest.base_dir, name)
+            # fingerprint-scoped path: two runs with different inputs in
+            # one checkpoint_dir must not overwrite each other's parquet
+            # (the manifest maps (stage, fingerprint) → path)
+            suffix = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+            out = os.path.join(self.manifest.base_dir, f"{name}-{suffix}")
             df.write.mode("overwrite").parquet(out)
             df = spark.read.parquet(out)
             n = df.count()
@@ -129,11 +153,16 @@ class RDF2VecPipeline:
     # -- stages --------------------------------------------------------
     def build_graph(self, transcripts: DataFrame) -> SparkKG:
         spark = transcripts.sparkSession
-        fp = f"transcripts:{self.seed}"
+        # input identity folds into the stage key, and each downstream
+        # stage folds its upstream's key — rerunning with the same
+        # checkpoint_dir on DIFFERENT transcripts rebuilds instead of
+        # silently reusing stale parquet
+        fp = f"transcripts:{self.seed}:{_df_fingerprint(transcripts)}"
         mentions = self._stage(
             spark, "extract", fp, lambda: extract_triples(transcripts)
         )
         triples = triples_only(mentions)
+        fp = f"{fp}>extract"
         if self.canonicalize:
             surfaces = (
                 triples.select(F.col("subj").alias("name"))
@@ -144,7 +173,9 @@ class RDF2VecPipeline:
                 spark, "canon", fp, lambda: canonical_mapping(surfaces)
             )
             triples = canonicalize_triples(triples, mapping)
+            fp = f"{fp}>canon"
         triples = self._stage(spark, "triples", fp, lambda: triples.dropDuplicates())
+        self._graph_fp = f"{fp}>triples"
         self.kg_ = SparkKG(triples)
         return self.kg_
 
@@ -156,9 +187,15 @@ class RDF2VecPipeline:
                 f"The provided entities must exist in the KG; missing: {sample}"
             )
         spark = entities.sparkSession
+        # graph identity: the upstream chained key when this pipeline
+        # built the kg, else a plan fingerprint of the caller's edges
+        graph_fp = getattr(self, "_graph_fp", None) or _df_fingerprint(
+            kg.edges
+        )
         fp = (
-            f"{self.walker}:{self.max_depth}:{self.max_walks}:{self.sampler}:"
-            f"{self.with_reverse}:{self.seed}:{self.md5_bytes}"
+            f"{graph_fp}>{self.walker}:{self.max_depth}:{self.max_walks}:"
+            f"{self.sampler}:{self.with_reverse}:{self.seed}:"
+            f"{self.md5_bytes}:{_df_fingerprint(entities)}"
         )
 
         def build():
@@ -168,24 +205,27 @@ class RDF2VecPipeline:
                     self.wl_iterations, self.md5_bytes,
                     self.with_reverse, self.sampler, self.seed,
                 )
-            if self.max_walks is None and not self.with_reverse:
-                # fused BFS + canonicalization: O(|V|) repr work, no
-                # driver-side entity collect — the at-scale path
-                return bfs_canonical_walks(
+            # every branch below is token-fused: canonicalization rides
+            # the walk build via an O(|V|) token join — no entity name
+            # ever reaches the driver (an IN-list/collect is an OOM at
+            # millions of seeds)
+            if self.max_walks is None:
+                fwd = bfs_canonical_walks(
                     kg, entities, self.max_depth, self.md5_bytes,
                     keep_root=False, seed_entities=entities,
                 )
-            raw = extract_walks(
+                if not self.with_reverse:
+                    return fwd
+                rev = bfs_canonical_walks(
+                    kg, entities, self.max_depth, self.md5_bytes,
+                    keep_root=False, seed_entities=entities,
+                    is_reverse=True,
+                )
+                return combine_with_reverse(fwd, rev)
+            return dfs_canonical_walks(
                 kg, entities, self.max_depth, self.max_walks,
-                with_reverse=self.with_reverse, sampler=self.sampler,
-                seed=self.seed,
-            )
-            ents = [r[0] for r in entities.select(entities.columns[0]).collect()]
-            # BFS output is already a distinct set; only sampled DFS
-            # walks carry genuine duplicates needing the dedup shuffle
-            return canonicalize_walks(
-                raw, ents, self.md5_bytes,
-                assume_distinct=self.max_walks is None,
+                self.md5_bytes, sampler=self.sampler, seed=self.seed,
+                with_reverse=self.with_reverse, seed_entities=entities,
             )
 
         self.walks_ = self._stage(spark, "walks", fp, build)
@@ -230,6 +270,7 @@ class RDF2VecPipeline:
             "src as subj", "pred", "dst as obj"
         ).unionByName(new_triples)
         self.kg_ = SparkKG(merged)
+        self._graph_fp = None  # merged graph: recompute from plan on use
         affected = (
             new_triples.select(F.col("subj").alias("name"))
             .union(new_triples.select(F.col("obj").alias("name")))

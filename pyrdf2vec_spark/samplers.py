@@ -144,9 +144,11 @@ def pagerank(
     collapse to one link, uniform teleport, dangling mass redistributed
     uniformly, L1 convergence err < N*tol).
 
-    Iterative join/agg loop; ranks are re-persisted per iteration and the
-    two scalars (dangling mass, L1 error) are the only driver collects.
-    Returns (name, rank).
+    Iterative join/agg loop; ranks are re-persisted per iteration. The
+    dangling-mass scalar stays IN the plan (one-row agg broadcast-cross-
+    joined onto the update) — zero driver round-trips per iteration in
+    fixed-iteration mode (tol=0); tol>0 adds the one L1-error collect
+    that decides convergence. Returns (name, rank).
     """
     links = kg.edges.select("src", "dst").distinct().persist()
     nodes = kg.entity_names().persist()
@@ -165,21 +167,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
         )
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "name"), "name", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        dangling = ranks.join(
+            out_deg.withColumnRenamed("src", "name"), "name", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         # eager localCheckpoint: truncates lineage each iteration — without it
         # the logical plan doubles per loop and the driver OOMs ~50 iters in
         new_ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "name"), "name", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "name",
                 (
                     F.lit(base)
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

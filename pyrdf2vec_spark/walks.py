@@ -115,6 +115,7 @@ def sampled_walks(
     seed: int = 42,
     is_reverse: bool = False,
     portable_hash: bool = False,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exactly ``max_walks`` root-anchored walks per entity, each hop drawn
     with probability proportional to the sampler weight.
@@ -123,6 +124,13 @@ def sampled_walks(
     instead of xxhash64 — engine-independent (DuckDB-oracle-checkable)
     at slightly higher hash cost; the default stays on xxhash64 for the
     hot path.
+
+    ``tokens`` (name, token) fuses md5 canonicalization into the walk
+    build (see :func:`vertex_tokens`): the walk array is assembled from
+    tokens while the active end and the sampling hash stay on raw names,
+    so the draw sequence is bit-identical to the untokenized run. This
+    replaces the driver-side entity collect the canonicalize-after
+    pattern needed — O(|V|) token joins, no IN-lists, no driver state.
 
     The reference draws hops sequentially with a shared ``visited`` set
     (sampler.py:159-171) — inherently single-threaded state. We reproduce
@@ -164,33 +172,54 @@ def sampled_walks(
             )
     norm = norm.where(
         F.col("norm_weight").isNotNull() & (F.col("norm_weight") > 0)
-    ).persist()
+    )
+    if tokens is not None:
+        # token of the hop vertex, joined ONCE onto the edge-weight
+        # table (O(|E|)), not per walk occurrence
+        norm = norm.join(
+            tokens.withColumnRenamed("name", hop_col), hop_col
+        ).withColumnRenamed("token", "hop_tok")
+    norm = norm.persist()
 
+    seeds = _seeds(entities)
+    if tokens is not None:
+        seeds = seeds.join(
+            tokens.withColumnRenamed("name", "entity"), "entity", "left"
+        ).select(
+            "entity",
+            F.coalesce(F.col("token"), F.col("entity")).alias("root_tok"),
+        )
+    else:
+        seeds = seeds.select("entity", F.col("entity").alias("root_tok"))
     slots = (
-        _seeds(entities)
+        seeds
         .crossJoin(
             entities.sparkSession.range(max_walks).select(
                 F.col("id").cast("int").alias("walk_id")
             )
         )
-        .select("entity", "walk_id", F.array(F.col("entity")).alias("walk"))
+        .select(
+            "entity",
+            "walk_id",
+            F.col("entity").alias("cur"),
+            F.array(F.col("root_tok")).alias("walk"),
+        )
     )
     walks = slots
     finished: DataFrame | None = None
     for depth in range(max_depth):
         if is_reverse:
             # head extends by its INCOMING edges (predecessor hops)
-            key = F.element_at(F.col("walk"), 1)
-            joined = walks.join(norm, key == norm["dst"], "left")
+            joined = walks.join(norm, walks["cur"] == norm["dst"], "left")
         else:
-            key = F.element_at(F.col("walk"), -1)
-            joined = walks.join(norm, key == norm["src"], "left")
+            joined = walks.join(norm, walks["cur"] == norm["src"], "left")
         dead = joined.where(F.col("pred").isNull()).select(
             "entity", "walk_id", "walk"
         )
         finished = dead if finished is None else finished.unionByName(dead)
         live = joined.where(F.col("pred").isNotNull())
         other = F.col("src") if is_reverse else F.col("dst")
+        other_tok = F.col("hop_tok") if tokens is not None else other
         # deterministic u ∈ (0,1) per (slot, depth, candidate)
         if portable_hash:
             u = (
@@ -239,6 +268,7 @@ def sampled_walks(
                 F.struct(
                     F.col("pred").alias("p"),
                     other.alias("o"),
+                    other_tok.alias("otok"),
                 ),
                 # pred/other tiebreak makes near-tie picks deterministic
                 F.struct(race_key.alias("k"), F.col("pred"), other),
@@ -247,16 +277,23 @@ def sampled_walks(
         )
         if is_reverse:
             nxt = F.concat(
-                F.array(F.col("hop.o"), F.col("hop.p")), F.col("walk")
+                F.array(F.col("hop.otok"), F.col("hop.p")), F.col("walk")
             )
         else:
             nxt = F.concat(
-                F.col("walk"), F.array(F.col("hop.p"), F.col("hop.o"))
+                F.col("walk"), F.array(F.col("hop.p"), F.col("hop.otok"))
             )
-        walks = picked.select("entity", "walk_id", nxt.alias("walk"))
+        walks = picked.select(
+            "entity", "walk_id", F.col("hop.o").alias("cur"),
+            nxt.alias("walk"),
+        )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = walks if finished is None else finished.unionByName(walks)
+    out = (
+        walks.select("entity", "walk_id", "walk")
+        if finished is None
+        else finished.unionByName(walks.select("entity", "walk_id", "walk"))
+    )
     norm.unpersist()
     return out.select("entity", "walk")
 
@@ -499,6 +536,7 @@ def bfs_canonical_walks(
     md5_bytes: int | None = 8,
     keep_root: bool = True,
     seed_entities: DataFrame | None = None,
+    is_reverse: bool = False,
 ) -> DataFrame:
     """Fused BFS + md5 canonicalization: walks are BUILT from
     pre-canonicalized tokens, so the expensive repr runs once per
@@ -509,16 +547,19 @@ def bfs_canonical_walks(
 
     ``keep_root=True`` keeps position 0 verbatim (golden-corpus rule);
     ``seed_entities`` marks additional names kept verbatim at even
-    positions (the reference's _entities set)."""
+    positions (the reference's _entities set); ``is_reverse`` walks
+    predecessor edges and prepends, root ends up last (random.py:71-73).
+    """
     if md5_bytes is None:
-        return bfs_walks(kg, entities, max_depth)
+        return bfs_walks(kg, entities, max_depth, is_reverse=is_reverse)
     toks = vertex_tokens(kg, seed_entities, md5_bytes)
+    hop_col = "src" if is_reverse else "dst"
     e = kg.edges
     edges_tok = _edge_side(
         kg,
-        e.join(toks.withColumnRenamed("name", "dst"), "dst")
-        .withColumnRenamed("token", "dst_tok")
-        .select("src", "pred", "dst", "dst_tok")
+        e.join(toks.withColumnRenamed("name", hop_col), hop_col)
+        .withColumnRenamed("token", "hop_tok")
+        .select("src", "pred", "dst", "hop_tok")
         .persist(),
     )
     root_tok = (
@@ -538,6 +579,85 @@ def bfs_canonical_walks(
     )
     finished: DataFrame | None = None
     for depth in range(max_depth):
+        if is_reverse:
+            joined = walks.join(
+                edges_tok, walks["cur"] == edges_tok["dst"], "left"
+            )
+            nxt_cur, extended = F.col("src"), F.concat(
+                F.array(F.col("hop_tok"), F.col("pred")), F.col("walk")
+            )
+        else:
+            joined = walks.join(
+                edges_tok, walks["cur"] == edges_tok["src"], "left"
+            )
+            nxt_cur, extended = F.col("dst"), F.concat(
+                F.col("walk"), F.array(F.col("pred"), F.col("hop_tok"))
+            )
+        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
+        finished = dead if finished is None else finished.unionByName(dead)
+        walks = joined.where(F.col("pred").isNotNull()).select(
+            "entity",
+            nxt_cur.alias("cur"),
+            extended.alias("walk"),
+        )
+        if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
+            walks = walks.localCheckpoint(eager=False)
+    out = walks.select("entity", "walk")
+    if finished is not None:
+        out = finished.unionByName(out)
+    return out
+
+
+def bfs_encoded_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    md5_bytes: int | None = 8,
+    keep_root: bool = True,
+    seed_entities: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encoded BFS corpus: walks as ``array<bigint>`` token
+    ids plus a (tid, token) vocabulary table — the at-scale storage
+    layout. A depth-2 walk carries 5 × 8 bytes instead of 5 × ~30-40
+    byte md5-repr strings, cutting corpus bytes materialized/written
+    ~4-8× (the walk-write stage is bandwidth-bound on one box; see
+    BENCH/BASELINE.md). Ids are xxhash64 of the canonical token —
+    assigned with zero extra shuffles; collision odds ~n²/2⁶⁵.
+
+    Returns (walks, vocab); join walks through the vocab (or feed ids
+    straight to Word2Vec as strings) to recover the md5-repr corpus.
+    """
+    toks = vertex_tokens(kg, seed_entities, md5_bytes).withColumn(
+        "tid", F.xxhash64("token")
+    )
+    e = kg.edges
+    edges_tok = _edge_side(
+        kg,
+        e.join(toks.withColumnRenamed("name", "dst"), "dst")
+        .select(
+            "src",
+            "pred",
+            "dst",
+            F.col("tid").alias("hop_tid"),
+            F.xxhash64("pred").alias("pred_tid"),
+        )
+        .persist(),
+    )
+    seeds = _seeds(entities).join(
+        toks.withColumnRenamed("name", "entity"), "entity", "left"
+    )
+    root_tid = (
+        F.xxhash64("entity")
+        if keep_root
+        else F.coalesce(F.col("tid"), F.xxhash64("entity"))
+    )
+    walks = seeds.select(
+        "entity",
+        F.col("entity").alias("cur"),
+        F.array(root_tid).alias("walk"),
+    )
+    finished: DataFrame | None = None
+    for depth in range(max_depth):
         joined = walks.join(
             edges_tok, walks["cur"] == edges_tok["src"], "left"
         )
@@ -547,7 +667,7 @@ def bfs_canonical_walks(
             "entity",
             F.col("dst").alias("cur"),
             F.concat(
-                F.col("walk"), F.array(F.col("pred"), F.col("dst_tok"))
+                F.col("walk"), F.array(F.col("pred_tid"), F.col("hop_tid"))
             ).alias("walk"),
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
@@ -555,7 +675,72 @@ def bfs_canonical_walks(
     out = walks.select("entity", "walk")
     if finished is not None:
         out = finished.unionByName(out)
-    return out
+    vocab = (
+        toks.select("tid", "token")
+        .unionByName(
+            e.select("pred").distinct().select(
+                F.xxhash64("pred").alias("tid"), F.col("pred").alias("token")
+            )
+        )
+        .unionByName(
+            _seeds(entities).select(
+                F.xxhash64("entity").alias("tid"),
+                F.col("entity").alias("token"),
+            )
+            if keep_root
+            else toks.sparkSession.createDataFrame(
+                [], "tid bigint, token string"
+            )
+        )
+        .dropDuplicates(["tid"])
+    )
+    return out, vocab
+
+
+def dfs_canonical_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    max_walks: int,
+    md5_bytes: int | None = 8,
+    sampler: str = "uniform",
+    inverse: bool = False,
+    split: bool = False,
+    alpha: float = 0.85,
+    seed: int = 42,
+    with_reverse: bool = False,
+    seed_entities: DataFrame | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Fused sampled-DFS + md5 canonicalization — the sampled twin of
+    :func:`bfs_canonical_walks`. Tokens are joined onto the edge-weight
+    table once (O(|E|)); no entity names ever reach the driver (the
+    canonicalize-after pattern collected the full seed set into an
+    IN-list — an OOM at millions of seeds). Sampling hashes stay on raw
+    names, so draws are bit-identical to sampled_walks without tokens.
+
+    Output ≡ canonicalize_walks(sampled_walks(...), seed_names)
+    with the same seed rule (differentially tested); DFS output carries
+    genuine duplicates by design (random.py:103-117), so the final
+    dropDuplicates stays.
+    """
+    toks = (
+        vertex_tokens(kg, seed_entities or entities, md5_bytes)
+        if md5_bytes is not None
+        else None
+    )
+    fwd = sampled_walks(
+        kg, entities, max_depth, max_walks, sampler, inverse, split,
+        alpha, seed, portable_hash=portable_hash, tokens=toks,
+    )
+    if with_reverse:
+        rev = sampled_walks(
+            kg, entities, max_depth, max_walks, sampler, inverse, split,
+            alpha, seed + 1, is_reverse=True, portable_hash=portable_hash,
+            tokens=toks,
+        )
+        fwd = combine_with_reverse(fwd, rev)
+    return fwd.dropDuplicates(["entity", "walk"])
 
 
 # ---------------------------------------------------------------------------

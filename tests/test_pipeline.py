@@ -50,6 +50,24 @@ class TestPipeline:
         lines = open(os.path.join(ck, "manifest.jsonl")).read().splitlines()
         assert all(json.loads(ln)["status"] == "ok" for ln in lines)
 
+    def test_checkpoint_not_reused_for_different_input(
+        self, spark, transcripts, tmp_path
+    ):
+        # fingerprints fold input identity: same checkpoint_dir +
+        # DIFFERENT transcripts must rebuild, not serve stale parquet
+        ck = str(tmp_path / "ckpt2")
+        p1 = RDF2VecPipeline(max_depth=1, vector_size=8, checkpoint_dir=ck)
+        p1.run(transcripts)
+        other = synth_transcripts(spark, 60, 10, seed=777)
+        p2 = RDF2VecPipeline(max_depth=1, vector_size=8, checkpoint_dir=ck)
+        p2.run(other)
+        assert p2.timings_["extract"] > 0.0
+        assert p2.timings_["walks"] > 0.0
+        # and the rebuilt triples really are the other corpus's
+        t1 = {tuple(r) for r in p1.kg_.edges.collect()}
+        t2 = {tuple(r) for r in p2.kg_.edges.collect()}
+        assert t1 != t2
+
     def test_missing_entities_raise(self, spark, transcripts):
         pipe = RDF2VecPipeline(max_depth=1)
         kg = pipe.build_graph(transcripts)

@@ -7,9 +7,11 @@ from pyspark.sql import functions as F
 from pyrdf2vec_spark.walks import (
     anonymous_walks,
     bfs_canonical_walks,
+    bfs_encoded_walks,
     bfs_walks,
     canonicalize_walks,
     combine_with_reverse,
+    dfs_canonical_walks,
     extract_walks,
     halk_walks,
     ngram_walks,
@@ -483,6 +485,72 @@ class TestExtractWalks:
             ("B", ("A", "p", "B")),
             ("B", ("C", "q", "B")),
         }
+
+    def test_encoded_walks_decode_to_canonical(self, kg_loop, roots):
+        # dictionary-encoded corpus (array<bigint> + vocab) must decode
+        # byte-identically to the canonical string corpus
+        enc, vocab = bfs_encoded_walks(
+            kg_loop, roots, 2, md5_bytes=8, keep_root=True,
+            seed_entities=roots,
+        )
+        lut = {r["tid"]: r["token"] for r in vocab.collect()}
+        decoded = {
+            (r["entity"], tuple(lut[t] for t in r["walk"]))
+            for r in enc.collect()
+        }
+        expect = walks_set(
+            bfs_canonical_walks(
+                kg_loop, roots, 2, md5_bytes=8, keep_root=True,
+                seed_entities=roots,
+            )
+        )
+        assert decoded == expect
+        # every walk element is a bigint id, 8 bytes — the scale layout
+        assert dict(enc.dtypes)["walk"] == "array<bigint>"
+
+    def test_dfs_canonical_equals_canonicalize_after(self, kg_loop, roots):
+        # token fusion must be invisible: same draws, same md5 rule
+        ents = [r[0] for r in roots.collect()]
+        expect = walks_set(
+            canonicalize_walks(
+                sampled_walks(kg_loop, roots, 2, 4, seed=13), ents, 8
+            )
+        )
+        got = walks_set(
+            dfs_canonical_walks(kg_loop, roots, 2, 4, md5_bytes=8, seed=13)
+        )
+        assert got == expect
+
+    def test_dfs_canonical_with_reverse_equals_after(self, kg_loop, roots):
+        ents = [r[0] for r in roots.collect()]
+        fwd = sampled_walks(kg_loop, roots, 1, 2, seed=21)
+        rev = sampled_walks(kg_loop, roots, 1, 2, seed=22, is_reverse=True)
+        expect = walks_set(
+            canonicalize_walks(combine_with_reverse(fwd, rev), ents, 8)
+        )
+        got = walks_set(
+            dfs_canonical_walks(
+                kg_loop, roots, 1, 2, md5_bytes=8, seed=21,
+                with_reverse=True,
+            )
+        )
+        assert got == expect
+
+    def test_bfs_canonical_reverse_equals_after(self, kg_loop, roots):
+        ents = [r[0] for r in roots.collect()]
+        expect = walks_set(
+            canonicalize_walks(
+                bfs_walks(kg_loop, roots, 2, is_reverse=True), ents, 8,
+                assume_distinct=True,
+            )
+        )
+        got = walks_set(
+            bfs_canonical_walks(
+                kg_loop, roots, 2, md5_bytes=8, keep_root=False,
+                seed_entities=roots, is_reverse=True,
+            )
+        )
+        assert got == expect
 
     def test_reverse_sampled_inverse_mode_runs(self, kg_loop, roots):
         # inverse + split normalization under is_reverse groups by dst

@@ -19,11 +19,15 @@ from pyrdf2vec_spark.extract import extract_triples, triples_only
 from pyrdf2vec_spark.graph import SparkKG
 from pyrdf2vec_spark.session import get_spark
 from pyrdf2vec_spark.sources.transcripts import scaled_vocab, synth_transcripts
-from pyrdf2vec_spark.walks import bfs_canonical_walks
+from pyrdf2vec_spark.walks import bfs_canonical_walks, bfs_encoded_walks
 
 
 def main():
     n_convs = int(os.environ.get("SCALE_CONVS", "60000"))
+    # default: dictionary-encoded corpus (array<bigint> walks + vocab
+    # table) — the at-scale layout; SCALE_ENCODED=0 writes the md5-repr
+    # string arrays for comparison (≈5× the bytes)
+    encoded = os.environ.get("SCALE_ENCODED", "1") != "0"
     turns = 10
     spark = get_spark("scaling-job")
     t_start = time.perf_counter()
@@ -33,11 +37,15 @@ def main():
     kg.edges.count()  # materialize extraction + graph build
     t_extract = time.perf_counter()
     seeds = kg.entity_names()
-    walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8)
     # write the corpus (snappy parquet) rather than count(): count lets
     # Catalyst prune the walk arrays entirely — the write measures real
     # token materialization + encode, which is what a pipeline pays
     out_dir = os.environ.get("SCALE_OUT", "/dev/shm/scale_walks")
+    if encoded:
+        walks, vocab = bfs_encoded_walks(kg, seeds, 2, md5_bytes=8)
+        vocab.write.mode("overwrite").parquet(out_dir + "_vocab")
+    else:
+        walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8)
     walks.write.mode("overwrite").parquet(out_dir)
     n_walks = spark.read.parquet(out_dir).count()
     t_end = time.perf_counter()
@@ -46,6 +54,7 @@ def main():
         json.dumps(
             {
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "encoded": encoded,
                 "n_turns": n_convs * turns,
                 "n_walks": n_walks,
                 "extract_sec": round(t_extract - t_start, 2),
