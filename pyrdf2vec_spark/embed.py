@@ -18,7 +18,7 @@ from pyspark.ml.feature import Word2Vec as MLWord2Vec, Word2VecModel
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 
 class SparkWord2Vec:
@@ -128,16 +128,25 @@ def ft_ngram_buckets(entity: str, num_buckets: int = 2_000_000) -> list[int]:
     return [ft_hash_bytes(n) % num_buckets for n in compute_ngrams_bytes(entity)]
 
 
+# bucket tokens share the word vocabulary during training; the \x00
+# prefix cannot occur in real vertex names, so the two never collide
+_BKT_PREFIX = "\x00bkt:"
+
+
 class SparkFastText:
-    """FastText-contract embedder: Word2Vec over the walk corpus plus a
-    subword-bucket pooling layer (SURVEY.md E3 plan — MLlib has no
-    FastText; gensim's joint word+ngram training is approximated by
-    deriving bucket vectors as the mean of in-vocabulary word vectors
-    sharing the bucket).
+    """FastText-contract embedder: Word2Vec over a subword-AUGMENTED walk
+    corpus (SURVEY.md E3 — MLlib has no FastText). gensim trains word
+    and ngram vectors jointly (fasttext.py:52-156); here each walk token
+    is interleaved with its FNV-1a ngram-bucket tokens before the
+    skip-gram fit, so bucket vectors are TRAINED in the word's context
+    window rather than derived post hoc — the closest joint-training
+    analogue expressible over MLlib. Remaining divergence (documented):
+    gensim composes in-vocab vectors as word+ngram sums during training;
+    here in-vocab words keep their directly-trained vector.
 
     transform semantics mirror RDFFastTextKeyedVectors.get_vector
     (fasttext.py:129-156): in-vocab word → its word vector; OOV word →
-    mean of its ngram-bucket vectors; no extractable ngrams → zeros.
+    mean of its (trained) ngram-bucket vectors; no bucket hit → zeros.
     """
 
     def __init__(self, vector_size: int = 64, bucket: int = 2_000_000,
@@ -147,37 +156,39 @@ class SparkFastText:
         self._bucket_vecs: DataFrame | None = None
         self.vector_size = vector_size
 
-    def _bucket_table(self) -> DataFrame:
+    def fit(self, walks: DataFrame, deterministic: bool = False) -> "SparkFastText":
         nb = self.bucket
 
-        @pandas_udf(ArrayType(LongType()))
-        def _buckets(col: pd.Series) -> pd.Series:
-            return col.map(lambda w: ft_ngram_buckets(w, nb))
+        @pandas_udf(ArrayType(StringType()))
+        def _augment(col: pd.Series) -> pd.Series:
+            return col.map(
+                lambda walk: [
+                    t
+                    for w in walk
+                    for t in (
+                        [w]
+                        + [
+                            f"{_BKT_PREFIX}{b}"
+                            for b in ft_ngram_buckets(w, nb)
+                        ]
+                    )
+                ]
+            )
 
-        vecs = self._w2v.vectors()
-        exploded = vecs.select(
-            F.explode(_buckets(F.col("word"))).alias("bucket"), "vector"
+        aug = walks.select(_augment(F.col("walk")).alias("walk"))
+        self._w2v.fit(aug, deterministic=deterministic)
+        plen = len(_BKT_PREFIX)
+        self._bucket_vecs = (
+            self._w2v.model.getVectors()
+            .where(F.col("word").startswith(_BKT_PREFIX))
+            .select(
+                F.substring(F.col("word"), plen + 1, 30)
+                .cast("long")
+                .alias("bucket"),
+                vector_to_array("vector", "float32").alias("bucket_vec"),
+            )
+            .persist()
         )
-        dim = self.vector_size
-        zero = F.array(*[F.lit(0.0).cast("float")] * dim)
-        summed = exploded.groupBy("bucket").agg(
-            F.count("*").alias("n"),
-            F.aggregate(
-                F.collect_list("vector"),
-                zero,
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-            ).alias("sum_vec"),
-        )
-        return summed.select(
-            "bucket",
-            F.expr("transform(sum_vec, x -> cast(x / n as float))").alias(
-                "bucket_vec"
-            ),
-        )
-
-    def fit(self, walks: DataFrame, deterministic: bool = False) -> "SparkFastText":
-        self._w2v.fit(walks, deterministic=deterministic)
-        self._bucket_vecs = self._bucket_table().persist()
         self._bucket_vecs.count()
         return self
 
@@ -193,7 +204,9 @@ class SparkFastText:
             return col.map(lambda w: ft_ngram_buckets(w, nb))
 
         ents = entities.select(F.col(entities.columns[0]).alias("word"))
-        vecs = self._w2v.vectors()
+        vecs = self._w2v.vectors().where(
+            ~F.col("word").startswith(_BKT_PREFIX)
+        )
         known = ents.join(vecs, "word", "inner")
         dim = self.vector_size
         oov = (

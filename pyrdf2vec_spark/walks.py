@@ -884,22 +884,38 @@ def ngram_walks(
 def halk_walks(
     walks: DataFrame,
     freq_thresholds: list[float] | None = None,
+    with_reverse: bool = False,
 ) -> DataFrame:
     """Corpus-global rare-predicate filtering.
 
     Phase 1 (build_dictionary + get_rare_predicates, halk.py:59-101):
     support(pred) = #distinct walks containing it; rare if
-    support/|walks| < threshold. Phase 2 (_post_extract 118-176,
-    non-reverse path): per walk keep root + non-rare (pred, obj) pairs;
-    drop results shorter than 3; entities whose every walk vanished fall
-    back to the bare (root,) walk. One output copy per threshold.
+    support/|walks| < threshold. Phase 2 (_post_extract 118-176): per
+    walk keep a prefix + non-rare (pred, obj) pairs; drop results
+    shorter than 3; entities whose every walk vanished fall back to a
+    bare single-token walk. One output copy per threshold.
+
+    Reconstruction replicates the reference's index arithmetic EXACTLY,
+    quirks included (halk.py:157-166): the k-th predicate (0-based,
+    position 2k+1) is enumerated with i = k+2 and pairs with
+      non-reverse: obj = walk[i] if i even else walk[i+1]
+        — correct pairing for walks of length ≤ 5; for longer walks
+        (depth ≥ 3) this pairs deep predicates with EARLIER entities,
+        and we reproduce that faithfully (the reference is the spec);
+      with_reverse: obj = walk[i + j], j = count of previously KEPT
+        predicates — a skipped rare predicate shifts every later obj
+        index, likewise reproduced exactly.
+    Prefix and fallback token: non-reverse uses the root (walk[0]);
+    with_reverse prefixes walk[0] but falls back to the walk's CENTER
+    vertex (halk.py:147-151 reads entity_walks[0]'s center; here the
+    per-walk center — identical for full-length combined walks, the
+    documented divergence for asymmetric dead-end walks).
 
     Spark shape: explode → distinct → groupBy count (the reference's only
     corpus-wide aggregation), broadcast-joined back; reconstruction is
     pure array functions — no shuffle beyond the count.
     """
     thresholds = freq_thresholds if freq_thresholds is not None else [0.01]
-    spark = walks.sparkSession
     # pinned wid (see ngram_walks) + single materialization for the
     # corpus-global support count and every per-threshold pass
     w = walks.withColumn(
@@ -918,6 +934,33 @@ def halk_walks(
         .groupBy("pred")
         .agg(F.count("*").alias("support"))
     )
+    not_rare = (
+        "NOT coalesce(array_contains(rare_set, walk[2 * k + 1]), false)"
+    )
+    if with_reverse:
+        # running-j reconstruction via an aggregate with struct state
+        pairs_expr = (
+            "IF(size(walk) < 3, array(), "
+            "aggregate(sequence(0, (size(walk) - 3) DIV 2), "
+            "named_struct('acc', cast(array() as array<string>), 'j', 0), "
+            f"(s, k) -> CASE WHEN {not_rare} "
+            "THEN named_struct('acc', concat(s.acc, array(walk[2 * k + 1], "
+            "walk[k + 2 + s.j])), 'j', s.j + 1) ELSE s END, "
+            "s -> s.acc))"
+        )
+        prefix = F.expr("array(walk[0])")
+        fb_token = F.expr("walk[CAST(size(walk) / 2 AS INT)]")
+    else:
+        pairs_expr = (
+            "IF(size(walk) < 3, array(), "
+            "flatten(filter(transform(sequence(0, (size(walk) - 3) DIV 2), "
+            f"k -> CASE WHEN {not_rare} "
+            "THEN array(walk[2 * k + 1], "
+            "IF((k + 2) % 2 = 0, walk[k + 2], walk[k + 3])) END), "
+            "x -> x is not null)))"
+        )
+        prefix = F.array(F.col("entity"))
+        fb_token = F.col("entity")
     outs = []
     for t in thresholds:
         rare = support.where(F.col("support") / F.lit(total) < F.lit(t)).select(
@@ -925,32 +968,22 @@ def halk_walks(
         )
         filtered = w.crossJoin(F.broadcast(rare)).select(
             "entity",
-            F.concat(
-                F.array(F.col("entity")),
-                F.expr(
-                    "IF(size(walk) < 3, array(), "
-                    "flatten(filter(transform(sequence(1, size(walk) - 2, 2), i -> "
-                    "CASE WHEN NOT coalesce("
-                    "array_contains(rare_set, walk[i]), false) "
-                    "THEN array(walk[i], walk[i + 1]) END), x -> x is not null)))"
-                ),
-            ).alias("walk"),
+            F.concat(prefix, F.expr(pairs_expr)).alias("walk"),
+            fb_token.alias("fb_token"),
         )
         kept = filtered.where(F.size("walk") >= 3)
-        # entities with no surviving walk → single (root,) walk
+        # entities with no surviving walk → single-token fallback walk
         fallback = (
-            w.select("entity")
-            .distinct()
+            filtered.select("entity", "fb_token")
             .join(kept.select("entity").distinct(), "entity", "left_anti")
-            .select("entity", F.array(F.col("entity")).alias("walk"))
+            .select("entity", F.array(F.col("fb_token")).alias("walk"))
+            .distinct()
         )
-        outs.append(kept.unionByName(fallback))
+        outs.append(kept.select("entity", "walk").unionByName(fallback))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
-    res = res.dropDuplicates(["entity", "walk"])
-    _ = spark  # session kept referenced for symmetry with other builders
-    return res
+    return res.dropDuplicates(["entity", "walk"])
 
 
 # ---------------------------------------------------------------------------
@@ -1256,12 +1289,19 @@ def community_walks(
 # ---------------------------------------------------------------------------
 # W11 — SplitWalker (pyrdf2vec/walkers/split.py:53-125)
 # ---------------------------------------------------------------------------
-def split_walks(walks: DataFrame) -> DataFrame:
+def split_walks(walks: DataFrame, with_reverse: bool = False) -> DataFrame:
     """Tokenizing relabeler: every non-root vertex is split on '#',
     camel-case boundaries, and letter/digit seams; floats collapse to
     str(float(name)); tokens lowercased; order-preserving dedup
     (dict(zip(w, w)) in the reference). Vectorized pandas UDF — pure
-    string work, regex identical to split.py basic_split."""
+    string work, regex identical to split.py basic_split.
+
+    ``with_reverse`` replicates the tmp_vertices interleave branch
+    (split.py:84-124): the raw (uncased, unsplit) first vertex name
+    brackets the output at BOTH ends, and each (pred, obj) pair emits
+    the OBJECT's tokens before the PREDICATE's (tmp_vertices.reverse());
+    a trailing unpaired element is dropped, exactly as the reference's
+    pending tmp_vertices is never flushed."""
     import re
 
     camel = re.compile(r"([A-Z][a-z]*)")
@@ -1289,10 +1329,25 @@ def split_walks(walks: DataFrame) -> DataFrame:
     def _split(col: pd.Series) -> pd.Series:
         def go(walk):
             out: list[str] = []
-            for i, v in enumerate(walk):
-                if i == 0:
-                    continue
-                out.extend(t.lower() for t in split_vertex(v, i))
+            if with_reverse:
+                out.append(walk[0])
+                pend: list[str] | None = None
+                for i, v in enumerate(walk):
+                    if i == 0:
+                        continue
+                    vs = split_vertex(v, i)
+                    if pend is None:
+                        pend = vs
+                    else:
+                        out.extend(t.lower() for t in vs)
+                        out.extend(t.lower() for t in pend)
+                        pend = None
+                out.append(walk[0])
+            else:
+                for i, v in enumerate(walk):
+                    if i == 0:
+                        continue
+                    out.extend(t.lower() for t in split_vertex(v, i))
             # order-preserving dedup, reference split.py:123-124
             return list(dict(zip(out, out)))
 

@@ -86,6 +86,26 @@ class TestWord2Vec:
         assert row is not None
         assert any(abs(x) > 0 for x in row["vector"])
 
+    def test_fasttext_oov_uses_trained_bucket_vectors(self, spark, corpus):
+        # joint-ish training (E3 fidelity): the OOV vector must be the
+        # mean of TRAINED bucket vectors, not a post-hoc pool of word
+        # vectors. '#Zelda' hits exactly one trained bucket (the shared
+        # 'http://pyRDF2Vec' segment; the 'Zelda' segment bucket never
+        # appeared in the corpus → zero), so vec == bucket_vec / 2.
+        from pyrdf2vec_spark.embed import SparkFastText, ft_ngram_buckets
+
+        ft = SparkFastText(vector_size=8, seed=5).fit(corpus)
+        prefix_bucket = ft_ngram_buckets(URL, ft.bucket)[0]
+        bv = {
+            r["bucket"]: list(r["bucket_vec"])
+            for r in ft._bucket_vecs.collect()
+        }
+        assert prefix_bucket in bv  # the bucket token really was trained
+        oov = spark.createDataFrame([(f"{URL}#Zelda",)], "word string")
+        got = list(ft.transform(oov).first()["vector"])
+        expect = [x / 2 for x in bv[prefix_bucket]]
+        assert got == pytest.approx(expect, abs=1e-6)
+
     def test_save_load_roundtrip(self, spark, corpus, tmp_path):
         w2v = SparkWord2Vec(vector_size=8, seed=3).fit(corpus)
         p = str(tmp_path / "w2v_model")

@@ -312,6 +312,89 @@ class TestHALK:
         two = halk_walks(raw, [0.001, 0.99]).count()
         assert two > one
 
+    @staticmethod
+    def _halk_reference_mirror(walks, thresholds, with_reverse):
+        # independent mirror of halk.py:59-176 written from the spec,
+        # index quirks included (enumerate(walk[1::2], 2), running j)
+        support = {}
+        for wi, w in enumerate(walks):
+            for p in w[1::2]:
+                support.setdefault(p, set()).add(wi)
+        out = set()
+        for t in thresholds:
+            rare = {
+                p for p, s in support.items()
+                if len(s) / len(walks) < t
+            }
+            per_entity: dict[str, list[tuple]] = {}
+            for w in walks:
+                ent = w[len(w) // 2] if with_reverse else w[0]
+                cw = [w[0]]
+                j = 0
+                for i, pred in enumerate(w[1::2], 2):
+                    if pred not in rare:
+                        if with_reverse:
+                            obj = w[i + j]
+                            j += 1
+                        else:
+                            obj = w[i] if i % 2 == 0 else w[i + 1]
+                        cw += [pred, obj]
+                per_entity.setdefault(ent, [])
+                if len(cw) >= 3:
+                    per_entity[ent].append(tuple(cw))
+            for ent, cws in per_entity.items():
+                if cws:
+                    out.update((ent, c) for c in cws)
+                else:
+                    out.add((ent, (ent,)))
+        return out
+
+    def test_with_reverse_matches_reference_mirror(self, kg_loop, roots):
+        fwd = bfs_walks(kg_loop, roots, 1)
+        rev = bfs_walks(kg_loop, roots, 1, is_reverse=True)
+        combined = combine_with_reverse(fwd, rev)
+        rows = combined.collect()
+        walks = [tuple(r["walk"]) for r in rows]
+        for th in ([0.99], [0.5], [1.1], [0.2, 0.99]):
+            expect = self._halk_reference_mirror(walks, th, True)
+            got = {
+                (r["walk"][len(r["walk"]) // 2] if len(r["walk"]) > 1
+                 else r["walk"][0], tuple(r["walk"]))
+                for r in halk_walks(combined, th, with_reverse=True)
+                .collect()
+            }
+            # compare walk sets (entity grouping differs only in how the
+            # fallback token is keyed; the walks themselves must agree)
+            assert {w for _, w in got} == {w for _, w in expect}, th
+
+    def test_with_reverse_j_shift_quirk(self, spark):
+        # one rare predicate in the middle: the reference shifts every
+        # later obj index by the SKIPPED count — replicate exactly.
+        # corpus: 3 walks share pred 'a' and 'c'; only one has 'b'
+        rows = [
+            ("r", ["x1", "a", "r", "c", "y1"]),
+            ("r", ["x2", "a", "r", "c", "y2"]),
+            ("r", ["x3", "b", "r", "c", "y3"]),
+        ]
+        df = spark.createDataFrame(
+            rows, "entity string, walk array<string>"
+        )
+        got = {
+            tuple(r["walk"])
+            for r in halk_walks(df, [0.5], with_reverse=True).collect()
+        }
+        expect = {
+            w
+            for _, w in self._halk_reference_mirror(
+                [tuple(w) for _, w in rows], [0.5], True
+            )
+        }
+        assert got == expect
+        # 'b' is rare (1/3 < 0.5): its walk keeps only pred 'c' (k=1,
+        # i=3), and the un-incremented j pairs it with walk[3+0]='c'
+        # itself — the reference's index-shift quirk, replicated
+        assert ("x3", "c", "c") in got
+
 
 # ---------------------------------------------------------------------------
 # W12 WL (weisfeiler_lehman.py:69-129)
@@ -432,6 +515,46 @@ class TestSplit:
         ents = spark.createDataFrame([("e",)], "name string")
         got = walks_set(split_walks(bfs_walks(kg, ents, 1)))
         assert got == {("e", ("p", "0.42"))}
+
+    def test_with_reverse_interleave(self, spark):
+        # split.py:84-124: raw walk[0] brackets both ends (deduped by
+        # the dict pass), each (pred, obj) pair emits OBJECT tokens
+        # before PREDICATE tokens (tmp_vertices.reverse())
+        df = spark.createDataFrame(
+            [
+                (
+                    "http://dl#d19",
+                    [
+                        "http://dl#OtherMol",
+                        "http://dl#inBond",
+                        "http://dl#d19",
+                        "http://dl#hasBond",
+                        "http://dl#bond3209",
+                    ],
+                )
+            ],
+            "entity string, walk array<string>",
+        )
+        got = walks_set(split_walks(df, with_reverse=True))
+        # pairs: (inBond, d19) → d, 19, in, bond ; (hasBond, bond3209)
+        # → bond, 3209, has, bond(dup) ; bracketed by raw OtherMol
+        assert got == {
+            (
+                "http://dl#d19",
+                ("http://dl#OtherMol", "d", "19", "in", "bond",
+                 "3209", "has"),
+            )
+        }
+
+    def test_with_reverse_drops_unpaired_tail(self, spark):
+        # even-length walk: the pending tmp_vertices is never flushed —
+        # the trailing element contributes nothing (split.py:107-118)
+        df = spark.createDataFrame(
+            [("root", ["A", "hasX", "B", "lonePred"])],
+            "entity string, walk array<string>",
+        )
+        got = walks_set(split_walks(df, with_reverse=True))
+        assert got == {("root", ("A", "b", "has", "x"))}
 
 
 # ---------------------------------------------------------------------------
