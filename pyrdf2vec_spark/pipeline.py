@@ -288,6 +288,56 @@ class RDF2VecPipeline:
         self.embedder.fit(self.walks_)
         return self.embedder.transform(affected)
 
+    # -- whole-pipeline save/load (rdf2vec.py:238-292) ------------------
+    _CONFIG_KEYS = (
+        "max_depth", "max_walks", "walker", "sampler", "with_reverse",
+        "wl_iterations", "vector_size", "seed", "md5_bytes", "canonicalize",
+    )
+
+    def save(self, path: str) -> None:
+        """One-call persistence of the fitted pipeline — the Spark
+        counterpart of the reference's transformer pickle
+        (rdf2vec.py:238-246): config JSON + Word2Vec model + the walk
+        corpus and triples as parquet (both needed by update())."""
+        os.makedirs(path, exist_ok=True)
+        cfg = {k: getattr(self, k) for k in self._CONFIG_KEYS}
+        with open(os.path.join(path, "pipeline.json"), "w") as f:
+            json.dump(cfg, f)
+        if self.embedder.model is not None:
+            self.embedder.save(os.path.join(path, "word2vec"))
+        if self.walks_ is not None:
+            self.walks_.write.mode("overwrite").parquet(
+                os.path.join(path, "walks")
+            )
+        if self.kg_ is not None:
+            self.kg_.edges.selectExpr(
+                "src as subj", "pred", "dst as obj"
+            ).write.mode("overwrite").parquet(os.path.join(path, "triples"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "RDF2VecPipeline":
+        """Reconstruct a saved pipeline; raises ValueError when the path
+        does not hold one (rdf2vec.py:274-292 contract)."""
+        cfg_path = os.path.join(path, "pipeline.json")
+        if not os.path.exists(cfg_path):
+            raise ValueError(
+                f"Failed to load the RDF2VecPipeline object: {path!r} has "
+                "no pipeline.json"
+            )
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        pipe = cls(**cfg)
+        w2v_path = os.path.join(path, "word2vec")
+        if os.path.exists(w2v_path):
+            pipe.embedder.load(w2v_path)
+        walks_path = os.path.join(path, "walks")
+        if os.path.exists(walks_path):
+            pipe.walks_ = spark.read.parquet(walks_path)
+        triples_path = os.path.join(path, "triples")
+        if os.path.exists(triples_path):
+            pipe.kg_ = SparkKG(spark.read.parquet(triples_path))
+        return pipe
+
     # -- full end-to-end from raw transcripts --------------------------
     def run(
         self, transcripts: DataFrame, entities: DataFrame | None = None

@@ -159,9 +159,6 @@ def _gen_batch(
     has_ent = skind != ""
     a_surf = np.where(has_ent, surf(skind, si, sv), "")
     b_surf = np.where(has_ent, surf(okind, oi, ov), "")
-    prefix = np.array(
-        ["" for _ in range(len(TEMPLATES))], dtype=object
-    )
     # template text assembly: split each template at {A}/{B}
     t_parts = []
     for tmpl, sk, _, _ in TEMPLATES:
@@ -178,7 +175,6 @@ def _gen_batch(
     text = np.where(
         is_tool, "[" + tool.astype(object) + "] " + text, text
     )
-    _ = prefix
     ts = EPOCH + pd.to_timedelta(conv * 97 + turn * 13, unit="s")
     return pd.DataFrame(
         {

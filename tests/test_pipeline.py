@@ -75,6 +75,34 @@ class TestPipeline:
         with pytest.raises(ValueError):
             pipe.get_walks(kg, bad)
 
+    def test_pipeline_save_load_roundtrip(self, spark, transcripts, tmp_path):
+        # rdf2vec.py:238-292 one-call persistence facade
+        p = str(tmp_path / "saved_pipe")
+        pipe = RDF2VecPipeline(max_depth=1, vector_size=8, canonicalize=False)
+        pipe.run(transcripts)
+        some = pipe.kg_.entity_names().limit(5)
+        before = {
+            r["word"]: list(r["vector"])
+            for r in pipe.embedder.transform(some).collect()
+        }
+        pipe.save(p)
+        loaded = RDF2VecPipeline.load(spark, p)
+        assert loaded.max_depth == 1 and loaded.vector_size == 8
+        after = {
+            r["word"]: list(r["vector"])
+            for r in loaded.embedder.transform(some).collect()
+        }
+        assert before == after
+        assert loaded.kg_.edges.count() == pipe.kg_.edges.count()
+        assert loaded.walks_.count() == pipe.walks_.count()
+        # the loaded pipeline supports online update (needs kg_ + walks_)
+        refreshed = loaded.update(synth_transcripts(spark, 10, 5, seed=3))
+        assert refreshed.count() > 0
+
+    def test_pipeline_load_invalid_path_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            RDF2VecPipeline.load(spark, str(tmp_path / "nope"))
+
     def test_online_update(self, spark, transcripts):
         pipe = RDF2VecPipeline(max_depth=1, vector_size=8, canonicalize=False)
         pipe.run(transcripts)
