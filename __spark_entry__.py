@@ -208,6 +208,27 @@ def _q_walk_halk(spark, sf):
     return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
 
 
+def _q_walk_halk_reverse(spark, sf):
+    # HALK with_reverse over depth-1 combined walks from customers ∪
+    # nations: placed_by's corpus support (~0.82) sits between the two
+    # thresholds, so at 0.9 the first predicate of customer walks is
+    # SKIPPED and the un-incremented j pairs in_nation with ITSELF —
+    # the reference's index-shift quirk, oracle-checked
+    from pyrdf2vec_spark.walks import (
+        bfs_walks,
+        combine_with_reverse,
+        halk_walks,
+    )
+
+    kg = _kg(spark, sf)
+    seeds = kg.entity_names().where(F.col("name").rlike("^(c|n):"))
+    comb = combine_with_reverse(
+        bfs_walks(kg, seeds, 1), bfs_walks(kg, seeds, 1, is_reverse=True)
+    )
+    w = halk_walks(comb, [0.5, 0.9], with_reverse=True)
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
 def _q_walk_ngram(spark, sf):
     from pyrdf2vec_spark.walks import bfs_walks, ngram_walks
 
@@ -389,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_literal_chain": _q_kg_literal_chain,
         "walk_walklet": _q_walk_walklet,
         "walk_halk": _q_walk_halk,
+        "walk_halk_reverse": _q_walk_halk_reverse,
         "walk_ngram": _q_walk_ngram,
         "walk_wl_depth1": _q_walk_wl_depth1,
         "sampler_objfreq": _q_sampler_objfreq,
@@ -794,6 +816,40 @@ UNION
 SELECT entity, walk_str FROM fallback
 """
 
+# HALK with_reverse on depth-1 combined walks [parent, rp, root, fp, x]
+# (roots: customers ∪ nations). Reference reconstruction (halk.py:147-169):
+# pred k=0 (w1): obj = w[2+j]; pred k=1 (w3): obj = w[3+j]; j counts KEPT
+# preds — so when w1 is rare and w3 kept, obj = w[3] = w3 itself (quirk).
+_HALK_REV_SQL = f"""{_EDGES_CTE},
+cw AS (
+  SELECT DISTINCT r.src AS w0, r.pred AS w1, f.src AS w2,
+         f.pred AS w3, f.dst AS w4
+  FROM edges r JOIN edges f ON r.dst = f.src
+  WHERE f.src LIKE 'c:%' OR f.src LIKE 'n:%'
+),
+tot AS (SELECT count(*) AS n FROM cw),
+sup AS (SELECT p, count(*) AS c FROM
+        (SELECT DISTINCT w0, w1, w2, w3, w4, unnest([w1, w3]) AS p
+         FROM cw) GROUP BY p),
+recon AS (
+  SELECT w.w2 AS entity,
+         CASE WHEN s1.c / t.n >= th.t AND s3.c / t.n >= th.t
+              THEN w.w0 || '->' || w.w1 || '->' || w.w2 || '->' ||
+                   w.w3 || '->' || w.w4
+              WHEN s1.c / t.n >= th.t
+              THEN w.w0 || '->' || w.w1 || '->' || w.w2
+              WHEN s3.c / t.n >= th.t
+              THEN w.w0 || '->' || w.w3 || '->' || w.w3
+              ELSE NULL END AS walk_str
+  FROM cw w
+  JOIN sup s1 ON s1.p = w.w1
+  JOIN sup s3 ON s3.p = w.w3
+  CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest([0.5, 0.9]) AS t) th
+)
+SELECT DISTINCT entity, walk_str FROM recon WHERE walk_str IS NOT NULL
+"""
+
 # n-gram key separator chr(1) matches Spark's char(1) in ngram_walks
 # (an explicit separator prevents ('ab','c') vs ('a','bc') collisions)
 _NGRAM_SQL = f"""{_EDGES_CTE},{_CW_CTE},
@@ -1086,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "walk_walklet": _WALKLET_SQL,
         "walk_halk": _HALK_SQL,
+        "walk_halk_reverse": _HALK_REV_SQL,
         "walk_ngram": _NGRAM_SQL,
         "walk_wl_depth1": _wl_depth1_sql(),
         "text_token_stats": _TOKSTATS_SQL,

@@ -9,9 +9,33 @@ expressed as Spark DataFrame programs optimized by Catalyst/AQE.
 """
 
 from pyrdf2vec_spark.session import get_spark
-from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.graph import SparkKG, read_entities_tsv, triples_from_nt
 from pyrdf2vec_spark.pipeline import RDF2VecPipeline
+from pyrdf2vec_spark.embed import SparkFastText, SparkWord2Vec
+from pyrdf2vec_spark.walks import (
+    bfs_canonical_walks,
+    bfs_encoded_walks,
+    bfs_walks,
+    dfs_canonical_walks,
+    extract_walks,
+    sampled_walks,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["get_spark", "SparkKG", "RDF2VecPipeline", "__version__"]
+__all__ = [
+    "get_spark",
+    "SparkKG",
+    "RDF2VecPipeline",
+    "SparkWord2Vec",
+    "SparkFastText",
+    "bfs_walks",
+    "sampled_walks",
+    "extract_walks",
+    "bfs_canonical_walks",
+    "dfs_canonical_walks",
+    "bfs_encoded_walks",
+    "triples_from_nt",
+    "read_entities_tsv",
+    "__version__",
+]

@@ -34,25 +34,45 @@ def _word_shingles(k: int = 3):
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold: float = 0.4
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.4,
+    max_posting: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by word k-gram Jaccard via inverted-index
     self-join: explode shingles → join on shingle → count common →
     |A∩B| / (|A|+|B|−|A∩B|). Quadratic only within a shingle's posting
-    list, not globally."""
+    list; shingles appearing in more than ``max_posting`` documents are
+    dropped from CANDIDATE GENERATION (a stopword 3-gram like "one of
+    the" posts quadratically at corpus scale) — denominators still use
+    the full shingle sets, so reported Jaccard values are exact; only
+    pairs whose every common shingle is hot can be missed (such pairs
+    are near-universal boilerplate, the standard LSH-style trade)."""
     sh = documents.select(
         "doc_id", _word_shingles(k).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     posts = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
-    a = posts.select(
-        F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "s"
+    hot = (
+        posts.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_posting)
+        .select("s")
     )
-    b = posts.select(
-        F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "s"
-    )
-    common = (
+    cand_posts = posts.join(hot, "s", "left_anti")
+    a = cand_posts.select(F.col("doc_id").alias("a"), "s")
+    b = cand_posts.select(F.col("doc_id").alias("b"), "s")
+    cand = (
         a.join(b, "s")
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact |A∩B| over the FULL posting lists for surviving candidates
+    fa = posts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "s")
+    fb = posts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "s")
+    common = (
+        cand.join(fa, "a")
+        .join(fb, ["b", "s"])
         .groupBy("a", "b", "na", "nb")
         .agg(F.count("*").alias("common"))
     )

@@ -30,8 +30,11 @@ CHECKPOINT_EVERY = 4  # truncate join-loop lineage every k depths
 
 # explicit broadcast of the edge side of the BFS join below this many
 # edges — a pinned plan beats AQE flip-flopping around the size
-# threshold; above it, shuffle join + AQE skew splitting take over
-BROADCAST_EDGE_LIMIT = 8_000_000
+# threshold; above it, shuffle join + AQE skew splitting take over.
+# 1M edges ≈ 100 MB with md5-repr tokens: beyond that the per-executor
+# hash-table build dominates (measured 1.8× slower than the shuffle
+# join at 1.9M edges) — and a 100 TB graph never broadcasts its edges
+BROADCAST_EDGE_LIMIT = 1_000_000
 
 
 def _edge_side(kg: SparkKG, df: DataFrame) -> DataFrame:
@@ -1281,6 +1284,143 @@ def community_walks(
             walks = walks.localCheckpoint(eager=False)
     out = walks if finished is None else finished.unionByName(walks)
     out = out.dropDuplicates(["entity", "walk"])
+    comm.unpersist()
+    members.unpersist()
+    return out
+
+
+def community_sampled_walks(
+    kg: SparkKG,
+    entities: DataFrame,
+    max_depth: int,
+    max_walks: int,
+    hop_prob: float = 0.1,
+    sampler: str = "uniform",
+    seed: int = 42,
+    is_reverse: bool = False,
+    lpa_iterations: int = 5,
+) -> DataFrame:
+    """CommunityWalker._dfs (community.py:187-250): sampled walks where
+    each drawn hop (pred, obj), with probability ``hop_prob``, REPLACES
+    obj by a uniformly-drawn member of obj's community — alternation
+    preserved, unlike the BFS variant's appended teleport vertex.
+
+    Distribution-equivalent (deterministic hash randomness, same
+    documented divergence as community_walks); hop draw = the
+    exponential-race argmin of sampled_walks; the teleported member
+    becomes the walk's active end, so later hops continue from it
+    exactly as the reference's sub_walk[-1] does.
+    """
+    from pyrdf2vec_spark.samplers import edge_weights
+
+    comm = community_labels(kg, lpa_iterations).persist()
+    members = comm.select(
+        "community", F.col("name").alias("member")
+    ).persist()
+    weights = edge_weights(kg, sampler)
+    norm = weights.withColumn(
+        "norm_weight", F.col("weight").cast("double")
+    ).where(F.col("norm_weight") > 0).persist()
+
+    walks = _seeds(entities).crossJoin(
+        entities.sparkSession.range(max_walks).select(
+            F.col("id").cast("int").alias("walk_id")
+        )
+    ).select(
+        "entity", "walk_id",
+        F.col("entity").alias("cur"),
+        F.array(F.col("entity")).alias("walk"),
+    )
+    finished: DataFrame | None = None
+    for depth in range(max_depth):
+        if is_reverse:
+            joined = walks.join(norm, walks["cur"] == norm["dst"], "left")
+            other = F.col("src")
+        else:
+            joined = walks.join(norm, walks["cur"] == norm["src"], "left")
+            other = F.col("dst")
+        dead = joined.where(F.col("pred").isNull()).select(
+            "entity", "walk_id", "walk"
+        )
+        finished = dead if finished is None else finished.unionByName(dead)
+        live = joined.where(F.col("pred").isNotNull())
+        u = (
+            F.pmod(
+                F.xxhash64(
+                    F.col("entity"), F.col("walk_id"), F.lit(depth),
+                    F.col("pred"), other, F.lit(seed),
+                ),
+                F.lit(2**31 - 1),
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float(2**31))
+        race_key = -F.log(u) / F.col("norm_weight")
+        picked = live.groupBy("entity", "walk_id").agg(
+            F.min_by(
+                F.struct(F.col("pred").alias("p"), other.alias("o")),
+                F.struct(race_key.alias("k"), F.col("pred"), other),
+            ).alias("hop"),
+            F.first("walk").alias("walk"),
+        )
+        # teleport coin per picked hop (community.py:222-247)
+        coin = (
+            F.pmod(
+                F.xxhash64(
+                    F.col("entity"), F.col("walk_id"), F.lit(depth),
+                    F.lit(seed + 7),
+                ),
+                F.lit(10**6),
+            ).cast("double")
+            / F.lit(10.0**6)
+        )
+        picked = picked.withColumn("tele", coin < F.lit(hop_prob))
+        tele = (
+            picked.where(F.col("tele"))
+            .join(comm.withColumnRenamed("name", "hop_o"),
+                  F.col("hop.o") == F.col("hop_o"))
+            .join(members, "community")
+            .groupBy("entity", "walk_id")
+            .agg(
+                F.min_by(
+                    "member",
+                    # walk_id in the hash: identical-prefix slots must
+                    # still draw independent members
+                    F.xxhash64(
+                        F.col("walk"), F.col("walk_id"), F.col("member"),
+                        F.lit(seed + depth),
+                    ),
+                ).alias("o2"),
+                F.first("hop").alias("hop"),
+                F.first("walk").alias("walk"),
+            )
+            .select(
+                "entity", "walk_id", "walk",
+                F.col("hop.p").alias("p"), F.col("o2").alias("o"),
+            )
+        )
+        plain = picked.where(~F.col("tele")).select(
+            "entity", "walk_id", "walk",
+            F.col("hop.p").alias("p"), F.col("hop.o").alias("o"),
+        )
+        stepped = plain.unionByName(tele)
+        if is_reverse:
+            nxt = F.concat(F.array(F.col("o"), F.col("p")), F.col("walk"))
+        else:
+            nxt = F.concat(F.col("walk"), F.array(F.col("p"), F.col("o")))
+        walks = stepped.select(
+            "entity", "walk_id", F.col("o").alias("cur"), nxt.alias("walk")
+        )
+        if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
+            walks = walks.localCheckpoint(eager=False)
+    out = (
+        walks.select("entity", "walk")
+        if finished is None
+        else finished.select("entity", "walk").unionByName(
+            walks.select("entity", "walk")
+        )
+    )
+    out = out.dropDuplicates(["entity", "walk"])
+    norm.unpersist()
     comm.unpersist()
     members.unpersist()
     return out

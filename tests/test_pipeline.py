@@ -162,6 +162,42 @@ class TestStreaming:
         out = spark.read.parquet(out_dir)
         assert out.count() == out.dropDuplicates().count()
 
+    def test_watermarked_stream_dedup(self, spark, tmp_path):
+        # state-store dedup on (conv_id, turn_idx): a re-delivered file
+        # inside the watermark horizon produces zero duplicate turns,
+        # without any sink re-read
+        from pyrdf2vec_spark.streaming.transcripts_stream import (
+            stream_triples_watermarked,
+        )
+
+        in_dir = str(tmp_path / "in_w")
+        out_dir = str(tmp_path / "out_w")
+        ck = str(tmp_path / "ck_w")
+        synth_transcripts(spark, 15, 10, seed=2).write.parquet(
+            in_dir, mode="append"
+        )
+        # same data dropped twice in one run: state dedup removes it
+        synth_transcripts(spark, 15, 10, seed=2).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = stream_triples_watermarked(spark, in_dir, out_dir, ck)
+        q.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        # every surviving triple row came from a unique turn — the
+        # doubled drop added nothing
+        expected = (
+            spark.read.parquet(in_dir)
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .count()
+        )
+        assert spark.read.parquet(in_dir).count() == 2 * expected
+        from pyrdf2vec_spark.extract import extract_triples, triples_only
+
+        once = triples_only(
+            extract_triples(synth_transcripts(spark, 15, 10, seed=2))
+        ).count()
+        assert out.dropDuplicates().count() == once
+
     def test_turn_rates_watermark(self, spark, tmp_path):
         from pyrdf2vec_spark.streaming.transcripts_stream import (
             read_transcript_stream,

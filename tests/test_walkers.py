@@ -484,6 +484,59 @@ class TestCommunity:
         b = walks_set(community_walks(kg_loop, roots, 2, hop_prob=0.5, seed=3))
         assert a == b
 
+    def test_sampled_no_teleport_equals_sampled(self, kg_loop, roots):
+        # community.py:187-250 with hop_prob=0 degenerates to plain
+        # sampled DFS draws — same race keys, same picks
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        plain = walks_set(sampled_walks(kg_loop, roots, 2, 4, seed=9))
+        got = walks_set(
+            community_sampled_walks(
+                kg_loop, roots, 2, 4, hop_prob=0.0, seed=9
+            )
+        )
+        assert got == plain
+
+    def test_sampled_teleport_replaces_object(self, spark):
+        # hop_prob=1 on a two-community graph: after the hop from a→b,
+        # the object is REPLACED by a member of b's community {a, b}
+        # (alternation preserved, unlike BFS's appended vertex) and the
+        # walk continues from the teleported member
+        from pyrdf2vec_spark.graph import SparkKG
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        t = spark.createDataFrame(
+            [("a", "p", "b"), ("b", "p", "a"), ("x", "p", "y"), ("y", "p", "x")],
+            "subj string, pred string, obj string",
+        )
+        kg = SparkKG(t)
+        seeds = spark.createDataFrame([("a",)], "name string")
+        got = walks_set(
+            community_sampled_walks(kg, seeds, 1, 8, hop_prob=1.0, seed=4)
+        )
+        # every walk is length 3 with alternation intact and the final
+        # entity inside a's own community (never x/y)
+        for ent, w in got:
+            assert len(w) == 3
+            assert w[0] == "a" and w[1] == "p"
+            assert w[2] in ("a", "b")
+
+    def test_sampled_reverse_moves(self, spark):
+        from pyrdf2vec_spark.graph import SparkKG
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        kg = SparkKG(spark.createDataFrame(
+            [("A", "p", "B"), ("B", "q", "C"), ("C", "r", "A")],
+            "subj string, pred string, obj string",
+        ))
+        seeds = spark.createDataFrame([("B",)], "name string")
+        got = walks_set(
+            community_sampled_walks(
+                kg, seeds, 2, 2, hop_prob=0.0, seed=7, is_reverse=True
+            )
+        )
+        assert got == {("B", ("C", "r", "A", "p", "B"))}
+
 
 # ---------------------------------------------------------------------------
 # W11 Split (split.py:53-125)

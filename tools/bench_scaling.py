@@ -7,12 +7,14 @@ practice — the minimum is the least-noise estimate on a shared box).
 Writes BENCH/BASELINE.md and prints a JSON summary.
 
 Usage: python tools/bench_scaling.py [n_low] [n_high] [convs] [reps]
+       python tools/bench_scaling.py --from-json summary.json
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -23,12 +25,15 @@ def run_once(cpus: int, convs: int) -> dict:
     env = dict(
         os.environ, SPARK_GRAFT_CPUS=str(cpus), SCALE_CONVS=str(convs)
     )
+    cmd = [sys.executable, os.path.join(REPO, "tools", "scaling_job.py")]
+    # hard-pin to exactly N cores: a local[N] JVM otherwise schedules GC
+    # / shuffle / Python-worker helper threads onto EXTRA cores, which
+    # inflates the small config and understates efficiency — a cluster
+    # executor has a hard core count, so the pin is the faithful proxy
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_job.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        timeout=1200,
+        cmd, capture_output=True, text=True, env=env, timeout=1800,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -41,7 +46,99 @@ def best_of(cpus: int, convs: int, reps: int) -> dict:
     return best
 
 
+def write_md(summary: dict, reps: int) -> None:
+    lo, hi = summary["low"], summary["high"]
+    n_low, n_high = summary["n_low"], summary["n_high"]
+    encoded = lo.get("encoded", True)
+    layout = (
+        "dictionary-encoded (array<bigint> walks + vocab table — "
+        "`bfs_encoded_walks`, ~8 bytes/token vs ~30-40 byte md5-repr "
+        "strings)"
+        if encoded
+        else "md5-repr string arrays"
+    )
+    md = f"""# BENCH / BASELINE — scaling evidence
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. No multi-node cluster exists in this sandbox, so per the
+driver instruction the evidence is the SAME job on the SAME input at
+two local parallelism levels: `local[{n_low}]` (N) vs `local[{n_high}]`
+(4N). Each config ran {reps}×; minimum wall time used (least-noise
+estimate — the box is shared and run-to-run variance is 1.5-2x).
+
+Job: tools/scaling_job.py — synth {lo['n_turns']:,} transcript turns →
+vectorized Arrow extraction → triples → KG build → fused BFS depth-2 +
+md5 canonicalization → walk corpus WRITTEN as snappy parquet
+({lo['n_walks']:,} walks, {layout}; a count() would let Catalyst prune
+the walk arrays, so the write measures real token materialization).
+AQE + skew-join on, shuffle to tmpfs.
+
+| config | extract (s) | walks (s) | total (s) | turns/s | walks/s |
+|---|---|---|---|---|---|
+| local[{n_low}] (N) | {lo['extract_sec']} | {lo['walks_sec']} | {lo['wall_sec']} | {lo['turns_per_sec']:,.0f} | {lo['walks_per_sec']:,.0f} |
+| local[{n_high}] (4N) | {hi['extract_sec']} | {hi['walks_sec']} | {hi['wall_sec']} | {hi['turns_per_sec']:,.0f} | {hi['walks_per_sec']:,.0f} |
+
+All rep wall times: local[{n_low}] = {lo['all_wall_sec']}, local[{n_high}] = {hi['all_wall_sec']}.
+
+**Scaling efficiency (min-wall): {summary['scaling_efficiency']:.2f}**
+(extraction stage alone: {summary['scaling_efficiency_extract']:.2f};
+walk stage alone: {summary['scaling_efficiency_walks']:.2f}).
+
+Round-1 comparison (string-array corpus): walk-stage efficiency was
+0.59; the dictionary-encoded write cuts bytes materialized ~5× and is
+the layout a 100 TB pipeline stores anyway (int corpus + vocab).
+
+## Analysis — what limits the local proxy, and why a real cluster does better
+
+- The extraction stage — the turns/sec throughput metric of
+  BASELINE.md — is CPU-bound (vectorized Arrow UDFs, zero shuffle) and
+  is the stage whose behavior transfers directly to a multi-executor
+  cluster, where each executor brings its own cores AND memory bus.
+- The walk stage materializes {lo['n_walks']:,} array rows; on ONE box
+  all cores share a single memory bus and one tmpfs, so array
+  construction + parquet encode compete for bandwidth that a real
+  cluster scales WITH the executor count (4N executors = 4× aggregate
+  memory bandwidth + 4× disks — exactly the resource fixed in this
+  proxy). The plan itself is shuffle-free (broadcast adjacency below
+  BROADCAST_EDGE_LIMIT; shuffle join + AQE skew splitting above).
+- local[32] on this 32-vCPU box anti-scales: every pandas-UDF task
+  pairs a JVM thread with a Python worker, so local[32] schedules ~64
+  runnable threads plus GC — oversubscription, not a plan property.
+  N/4N are therefore chosen under-subscribed ({n_low}/{n_high}).
+
+## Design choices that hold at 1000 executors / 100 TB
+
+- one deduplicated edge table, persisted; inverse adjacency = join on
+  dst (no second copy)
+- BFS = repeated adjacency joins; broadcast below a size threshold,
+  sort-merge + AQE skew-join above; lineage checkpoint every 4 depths
+- canonicalization cost is O(|V|), not O(corpus): vertex tokens are
+  computed once and joined onto edges before walks are built; the
+  sampled-DFS path is fused the same way (no driver-side collects)
+- the corpus is stored dictionary-encoded: 8-byte ids + one vocab
+  table, decoded (or fed to Word2Vec as ids) downstream
+- extraction/generation are partition-local (zero shuffle) Arrow
+  batches; turns/sec scales with executors
+- MinHash-LSH: integer universal hashing (1 md5/shingle), band-bucket
+  join with bucket cap, posting-list Jaccard verify — no all-pairs
+- connected components: alternating large/small-star (O(log n)
+  rounds), eagerly checkpointed
+- PageRank: dangling mass folded into the plan (broadcast cross join);
+  zero per-iteration driver collects in fixed-iteration mode
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--from-json":
+        with open(sys.argv[2]) as f:
+            summary = json.load(f)
+        write_md(summary, summary.get("reps", 3))
+        print("rewrote BENCH/BASELINE.md from", sys.argv[2])
+        return
+
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     convs = int(sys.argv[3]) if len(sys.argv) > 3 else 480000
@@ -56,6 +153,7 @@ def main():
     summary = {
         "n_low": n_low,
         "n_high": n_high,
+        "reps": reps,
         "n_turns": lo["n_turns"],
         "low": lo,
         "high": hi,
@@ -65,75 +163,7 @@ def main():
         "scaling_efficiency_walks": round(eff_walks, 3),
     }
     print(json.dumps(summary))
-
-    md = f"""# BENCH / BASELINE — scaling evidence
-
-North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
-executors. No multi-node cluster exists in this sandbox, so per the
-driver instruction the evidence is the SAME job on the SAME input at
-two local parallelism levels: `local[{n_low}]` (N) vs `local[{n_high}]`
-(4N). Each config ran {reps}×; minimum wall time used (least-noise
-estimate — the box is shared and run-to-run variance is 1.5-2x).
-
-Job: tools/scaling_job.py — synth {lo['n_turns']:,} transcript turns →
-vectorized Arrow extraction → triples → KG build → fused BFS depth-2 +
-md5 canonicalization → walk corpus WRITTEN as snappy parquet
-({lo['n_walks']:,} walks; a count() would let Catalyst prune the walk
-arrays, so the write measures real token materialization). AQE +
-skew-join on, shuffle to tmpfs.
-
-| config | extract (s) | walks (s) | total (s) | turns/s | walks/s |
-|---|---|---|---|---|---|
-| local[{n_low}] (N) | {lo['extract_sec']} | {lo['walks_sec']} | {lo['wall_sec']} | {lo['turns_per_sec']:,.0f} | {lo['walks_per_sec']:,.0f} |
-| local[{n_high}] (4N) | {hi['extract_sec']} | {hi['walks_sec']} | {hi['wall_sec']} | {hi['turns_per_sec']:,.0f} | {hi['walks_per_sec']:,.0f} |
-
-All rep wall times: local[{n_low}] = {lo['all_wall_sec']}, local[{n_high}] = {hi['all_wall_sec']}.
-
-**Scaling efficiency (min-wall): {summary['scaling_efficiency']:.2f}**
-(extraction stage alone: {summary['scaling_efficiency_extract']:.2f};
-walk stage alone: {summary['scaling_efficiency_walks']:.2f}).
-
-## Analysis — what limits the local proxy, and why a real cluster does better
-
-- The extraction stage — the turns/sec throughput metric of
-  BASELINE.md — is CPU-bound (vectorized Arrow UDFs, zero shuffle) and
-  meets the ≥0.8 criterion; it is the stage whose behavior transfers
-  directly to a multi-executor cluster, where each executor brings its
-  own cores AND memory bus.
-- The walk stage materializes ~{lo['n_walks']:,} array rows (~15 GB
-  before encoding); on ONE box all cores share a single memory bus and
-  one tmpfs, so array construction + parquet encode become
-  bandwidth-bound below linear scaling. On a real cluster, 4N executors
-  bring 4x aggregate memory bandwidth and 4x disks — exactly the
-  resource that is fixed in this proxy. The plan itself is shuffle-free
-  (broadcast adjacency below BROADCAST_EDGE_LIMIT; shuffle join + AQE
-  skew splitting above).
-- local[32] on this 32-vCPU box anti-scales: every pandas-UDF task
-  pairs a JVM thread with a Python worker, so local[32] schedules ~64
-  runnable threads plus GC — oversubscription, not a plan property.
-  N/4N are therefore chosen under-subscribed ({n_low}/{n_high}).
-
-## Design choices that hold at 1000 executors / 100 TB
-
-- one deduplicated edge table, persisted; inverse adjacency = join on
-  dst (no second copy)
-- BFS = repeated adjacency joins; broadcast below a size threshold,
-  sort-merge + AQE skew-join above; lineage checkpoint every
-  {4} depths
-- canonicalization cost is O(|V|), not O(corpus): vertex tokens are
-  computed once and joined onto edges before walks are built
-- extraction/generation are partition-local (zero shuffle) Arrow
-  batches; turns/sec scales with executors
-- MinHash-LSH: integer universal hashing (1 md5/shingle), band-bucket
-  join with bucket cap, posting-list Jaccard verify — no all-pairs
-- connected components: alternating large/small-star (O(log n)
-  rounds), eagerly checkpointed
-- PageRank: dangling-mass redistribution, per-iteration checkpoint,
-  two scalar driver collects per iteration
-"""
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    write_md(summary, reps)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,17 @@ def main():
     encoded = os.environ.get("SCALE_ENCODED", "1") != "0"
     turns = 10
     spark = get_spark("scaling-job")
+    # warmup: a miniature end-to-end run (same operators, same codegen
+    # paths) so JIT/whole-stage-codegen compilation — a fixed per-JVM
+    # cost that a long-lived cluster pays once — is excluded from the
+    # measured window; standard warm-run benchmarking practice
+    if os.environ.get("SCALE_WARMUP", "1") != "0":
+        wtr = synth_transcripts(spark, 2000, turns, seed=7)
+        wkg = SparkKG(triples_only(extract_triples(wtr)), persist=True)
+        wkg.edges.count()
+        wwalks, _ = bfs_encoded_walks(wkg, wkg.entity_names(), 2, md5_bytes=8)
+        wwalks.write.mode("overwrite").parquet("/dev/shm/scale_warmup")
+        wkg.edges.unpersist()
     t_start = time.perf_counter()
     tr = synth_transcripts(spark, n_convs, turns, seed=42, vocab=scaled_vocab(n_convs))
     triples = triples_only(extract_triples(tr))
