@@ -237,6 +237,44 @@ def _q_walk_ngram(spark, sf):
     return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
 
 
+def _q_walk_with_reverse(spark, sf):
+    # W4: per-entity cartesian rev[:-1] + fwd, root centered — combined
+    # depth-1 customer walks [order, placed_by, c, in_nation, n]
+    from pyrdf2vec_spark.walks import bfs_walks, combine_with_reverse
+
+    kg = _kg(spark, sf)
+    seeds = _customer_seeds(kg)
+    comb = combine_with_reverse(
+        bfs_walks(kg, seeds, 1), bfs_walks(kg, seeds, 1, is_reverse=True)
+    )
+    return comb.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
+def _q_walk_anonymous(spark, sf):
+    # W7: first-occurrence-of-name indexing. The TPC-H customer walk
+    # vocabulary is repeat-free, so every walk maps to [root,1,2,3,4] —
+    # degenerate by construction (this gate checks the plumbing and the
+    # no-repeat assumption; the repeat semantics are pinned by the LOOP
+    # exact-set unit tests, anonymous.py:50-60 rule)
+    from pyrdf2vec_spark.walks import anonymous_walks, bfs_walks
+
+    kg = _kg(spark, sf)
+    w = anonymous_walks(bfs_walks(kg, _customer_seeds(kg), 2))
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
+def _q_walk_split(spark, sf):
+    # SplitWalker over customer depth-2 walks: ':'-id vertices split
+    # into (prefix, digits), predicates ride verbatim-lowered, nation
+    # names split on spaces; nation id '0' vs region id '0' exercises
+    # the order-preserving dict(zip) dedup
+    from pyrdf2vec_spark.walks import bfs_walks, split_walks
+
+    kg = _kg(spark, sf)
+    w = split_walks(bfs_walks(kg, _customer_seeds(kg), 2))
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
 def _q_walk_wl_depth1(spark, sf):
     from pyrdf2vec_spark.walks import wl_walks
 
@@ -412,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_halk": _q_walk_halk,
         "walk_halk_reverse": _q_walk_halk_reverse,
         "walk_ngram": _q_walk_ngram,
+        "walk_split": _q_walk_split,
+        "walk_with_reverse": _q_walk_with_reverse,
+        "walk_anonymous": _q_walk_anonymous,
         "walk_wl_depth1": _q_walk_wl_depth1,
         "sampler_objfreq": _q_sampler_objfreq,
         "sampler_predfreq": _q_sampler_predfreq,
@@ -864,6 +905,27 @@ FROM walks JOIN ids i ON i.k = w2 || chr(1) || w3 || chr(1) || w4
 """
 
 
+# SplitWalker replica for customer depth-2 walks. Token derivation per
+# split.py basic_split on THIS vocabulary: predicates have no uppercase/
+# '#' → ride through lowered; 'x:123' ids fail float() → non-alnum split
+# → (prefix, digits); nation names fail float() → space split, lowered.
+# dict(zip) order-preserving dedup = list_filter on first-occurrence.
+_SPLIT_SQL = f"""{_EDGES_CTE},{_CW_CTE},
+toks AS (
+  SELECT w0 AS entity,
+         [w1] || regexp_split_to_array(lower(w2), '[^a-z0-9]+') || [w3] ||
+         regexp_split_to_array(lower(w4), '[^a-z0-9]+') AS l
+  FROM cw
+),
+dedup AS (
+  SELECT entity,
+         list_filter(l, (x, i) -> list_position(l, x) = i) AS l
+  FROM toks
+)
+SELECT DISTINCT entity, array_to_string(l, '->') AS walk_str FROM dedup
+"""
+
+
 def _wl_depth1_sql() -> str:
     return f"""{_EDGES_CTE},
 d1 AS (SELECT src AS w0, pred AS w1, dst AS w2 FROM edges
@@ -1144,6 +1206,20 @@ def oracle_sql() -> dict[str, str]:
         "walk_halk": _HALK_SQL,
         "walk_halk_reverse": _HALK_REV_SQL,
         "walk_ngram": _NGRAM_SQL,
+        "walk_split": _SPLIT_SQL,
+        "walk_with_reverse": f"""{_EDGES_CTE}
+            SELECT r.src || '->' || r.pred || '->' || f.src || '->' ||
+                   f.pred || '->' || f.dst AS walk_str,
+                   f.src AS entity
+            FROM edges r JOIN edges f ON r.dst = f.src
+            WHERE f.src LIKE 'c:%'
+        """,
+        "walk_anonymous": f"""{_EDGES_CTE}
+            SELECT DISTINCT e1.src AS entity,
+                   e1.src || '->1->2->3->4' AS walk_str
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            WHERE e1.src LIKE 'c:%'
+        """,
         "walk_wl_depth1": _wl_depth1_sql(),
         "text_token_stats": _TOKSTATS_SQL,
         "text_quality": _QUALITY_SQL,
