@@ -411,6 +411,24 @@ def _q_events_sessionize(spark, sf):
     )
 
 
+def _q_events_sliding(spark, sf):
+    # sliding windows (1 h window, 30 min slide): every event lands in
+    # two epoch-aligned windows — the Structured-Streaming window shape
+    # run as a batch aggregate
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_multimodal_features(spark, sf):
     from pyrdf2vec_spark.functions.multimodal import (
         extract_features,
@@ -479,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_sliding": _q_events_sliding,
         "multimodal_features": _q_multimodal_features,
         "transcript_triples": _q_transcript_pipeline,
     }
@@ -1109,6 +1128,24 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id < 200
 """
 
+# sliding windows: each event belongs to the two epoch-aligned 30-min
+# slide starts covering it (window start ∈ {grid(ts), grid(ts)-30min},
+# keep when ts < start + 1h) — Spark's window(ts, '1 hour', '30 minutes')
+_EVENTS_SLIDING_SQL = """
+WITH cand AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - s.ofs)
+              AS TIMESTAMP) AS window_start,
+         event_type, value, ts
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1800]) AS ofs) s
+)
+SELECT window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM cand
+WHERE epoch(ts) < epoch(window_start) + 3600
+GROUP BY 1, 2
+"""
+
 _EVENTS_SESSION_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -1246,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_triples": _TRANSCRIPT_TRIPLES_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSION_SQL,
+        "events_sliding": _EVENTS_SLIDING_SQL,
         # pagerank / walks_dfs_sampled / embed_neardup: iterative or
         # RNG-distribution operators — rows-only checks by design.
     }

@@ -109,8 +109,9 @@ def main():
     timed("q4_word2vec_fit", q4)
     corpus_holder["walks"].unpersist()
 
-    # q5: PageRank over the entity graph (20 iterations)
-    timed("q5_pagerank", lambda: pagerank(kg, max_iter=20).count())
+    # q5: PageRank over the entity graph — fixed 20 iterations (tol=0):
+    # zero driver collects per iteration (dangling mass stays in-plan)
+    timed("q5_pagerank", lambda: pagerank(kg, max_iter=20, tol=0.0).count())
 
     # q6: MinHash-LSH dedup pairs over documents
     def q6():
