@@ -148,14 +148,25 @@ def pagerank(
     dangling-mass scalar stays IN the plan (one-row agg broadcast-cross-
     joined onto the update) — zero driver round-trips per iteration in
     fixed-iteration mode (tol=0); tol>0 adds the one L1-error collect
-    that decides convergence. Returns (name, rank).
+    that decides convergence. Vertex keys ride the loop as xxhash64
+    ints (collision odds ~n²/2⁶⁵ — a collision would merge two vertices;
+    at 10⁹ vertices that is ~3·10⁻²; swap to a dense-rank id table if
+    that bound ever matters). Returns (name, rank).
     """
-    links = kg.edges.select("src", "dst").distinct().persist()
-    nodes = kg.entity_names().persist()
+    # vertex keys are xxhash64 ints inside the loop: 20-100 iterations
+    # each shuffle the links×ranks join, and 8-byte keys beat entity-name
+    # strings through every round; names decode once at the end
+    nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+    links = kg.edges.select(
+        nid("src").alias("src"), nid("dst").alias("dst")
+    ).distinct().persist()
+    id_map = kg.entity_names().select(nid("name").alias("id"), "name").persist()
+    nodes = id_map.select("id").persist()
     n = nodes.count()
     if n == 0:
         links.unpersist()
-        return nodes.withColumn("rank", F.lit(0.0))
+        id_map.unpersist()
+        return kg.entity_names().withColumn("rank", F.lit(0.0))
     out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
@@ -163,20 +174,20 @@ def pagerank(
     for _ in range(max_iter):
         contrib = (
             links.join(out_deg, "src")
-            .join(ranks.withColumnRenamed("name", "src"), "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
         )
         dangling = ranks.join(
-            out_deg.withColumnRenamed("src", "name"), "name", "left_anti"
+            out_deg.withColumnRenamed("src", "id"), "id", "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         # eager localCheckpoint: truncates lineage each iteration — without it
         # the logical plan doubles per loop and the driver OOMs ~50 iters in
         new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "name"), "name", "left")
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "name",
+                "id",
                 (
                     F.lit(base)
                     + F.lit(alpha)
@@ -191,7 +202,7 @@ def pagerank(
         if tol > 0:
             err = (
                 new_ranks.join(
-                    ranks.withColumnRenamed("rank", "old_rank"), "name"
+                    ranks.withColumnRenamed("rank", "old_rank"), "id"
                 )
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))))
                 .first()[0]
@@ -205,7 +216,9 @@ def pagerank(
         ranks = new_ranks
         if err is not None and err < n * tol:
             break
+    out = id_map.join(ranks, "id").select("name", "rank")
     links.unpersist()
     out_deg.unpersist()
     nodes.unpersist()
-    return ranks
+    id_map.unpersist()
+    return out

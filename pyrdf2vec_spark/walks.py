@@ -1004,14 +1004,22 @@ def wl_labels(kg: SparkKG, wl_iterations: int, md5_bytes: int | None = 8) -> Dat
     (only entity labels are substituted into walks, _map_wl 155-172).
     """
     e = kg.edges
+    # node keys are xxhash64 bigints, not concat strings: every Pregel
+    # round shuffles the parents table on these keys, and 8-byte ints
+    # beat ~60-100-byte composite strings through |E|·iterations rounds
+    # of exchange (label VALUES are untouched — md5-repr strings as the
+    # reference computes them). Key spaces are salted apart ('e:'/'o:')
+    # so entity and occurrence nodes cannot collide.
+    ent_key = lambda c: F.xxhash64(F.lit("e:"), F.col(c))  # noqa: E731
+    occ_key = F.xxhash64(F.lit("o:"), "src", "pred", "dst")
     occ = e.select(
-        F.concat_ws("|", "src", "pred", "dst").alias("node"),
+        occ_key.alias("node"),
         F.col("pred").alias("name"),
-        F.col("src").alias("subj"),
-        F.col("dst").alias("obj"),
+        ent_key("src").alias("subj"),
+        ent_key("dst").alias("obj"),
     ).persist()
     ent_nodes = kg.entity_names().select(
-        F.col("name").alias("node"), F.col("name")
+        ent_key("name").alias("node"), F.col("name")
     )
     # parent edges: (child node, parent node)
     parents = occ.select(
@@ -1032,8 +1040,7 @@ def wl_labels(kg: SparkKG, wl_iterations: int, md5_bytes: int | None = 8) -> Dat
         return col.map(lambda s: str(hashlib.md5(s.encode()).digest()[:nbytes]))
 
     out = [
-        nodes.join(labels, "node")
-        .where(F.col("node") == F.col("name"))  # entity nodes only
+        ent_nodes.join(labels, "node")  # entity nodes only
         .select("name", F.lit(0).alias("n"), "label")
     ]
     for n in range(1, wl_iterations + 1):
@@ -1160,41 +1167,50 @@ def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
     Returns (name, community). Deterministic: ties broken by smallest
     label; each round is groupBy(node, label) → max_by(count, label).
     """
+    # node keys are xxhash64 ints (8 bytes through every LPA shuffle
+    # round); community labels stay NAME strings because the
+    # deterministic tie-break is lexicographic on names
+    nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
     und = (
-        kg.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(kg.edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        kg.edges.select(nid("src").alias("a"), nid("dst").alias("b"))
+        .union(kg.edges.select(nid("dst").alias("a"), nid("src").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
         .persist()
     )
-    labels = kg.entity_names().select(
-        "name", F.col("name").alias("community")
+    id_map = kg.entity_names().select(
+        nid("name").alias("id"), "name"
+    ).persist()
+    labels = id_map.select(
+        "id", F.col("name").alias("community")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
         neigh = und.join(
-            labels.withColumnRenamed("name", "b"), "b"
-        ).select(F.col("a").alias("name"), "community")
+            labels.withColumnRenamed("id", "b"), "b"
+        ).select(F.col("a").alias("id"), "community")
         # self-vote damps the 2-cycle oscillation classic LPA suffers
-        counts = neigh.unionByName(labels).groupBy("name", "community").agg(
+        counts = neigh.unionByName(labels).groupBy("id", "community").agg(
             F.count("*").alias("cnt")
         )
         # most frequent label; ties → lexicographically smallest label
-        picked = counts.groupBy("name").agg(
+        picked = counts.groupBy("id").agg(
             F.min_by(
                 "community",
                 F.struct((-F.col("cnt")).alias("nc"), F.col("community")),
             ).alias("new_community")
         )
         labels = (
-            labels.join(picked, "name", "left")
+            labels.join(picked, "id", "left")
             .select(
-                "name",
+                "id",
                 F.coalesce("new_community", "community").alias("community"),
             )
             .localCheckpoint(eager=True)
         )
+    out = id_map.join(labels, "id").select("name", "community")
     und.unpersist()
-    return labels
+    id_map.unpersist()
+    return out
 
 
 def community_walks(
