@@ -558,11 +558,21 @@ def bfs_canonical_walks(
     toks = vertex_tokens(kg, seed_entities, md5_bytes)
     hop_col = "src" if is_reverse else "dst"
     e = kg.edges
+    # frontier join keys are xxhash64 bigints, not entity-name strings:
+    # every BFS depth sort-merge-shuffles the (growing) frontier on this
+    # key above BROADCAST_EDGE_LIMIT, and 8-byte int sort/exchange beats
+    # arbitrary-length names; walk CONTENT stays md5-repr strings
+    # (collision odds ~|V|²/2⁶⁵, same documented bound as pagerank)
     edges_tok = _edge_side(
         kg,
         e.join(toks.withColumnRenamed("name", hop_col), hop_col)
         .withColumnRenamed("token", "hop_tok")
-        .select("src", "pred", "dst", "hop_tok")
+        .select(
+            F.xxhash64("src").alias("src_id"),
+            "pred",
+            F.xxhash64("dst").alias("dst_id"),
+            "hop_tok",
+        )
         .persist(),
     )
     root_tok = (
@@ -577,23 +587,23 @@ def bfs_canonical_walks(
         )
     walks = seeds.select(
         "entity",
-        F.col("entity").alias("cur"),
+        F.xxhash64("entity").alias("cur"),
         F.array(root_tok).alias("walk"),
     )
     finished: DataFrame | None = None
     for depth in range(max_depth):
         if is_reverse:
             joined = walks.join(
-                edges_tok, walks["cur"] == edges_tok["dst"], "left"
+                edges_tok, walks["cur"] == edges_tok["dst_id"], "left"
             )
-            nxt_cur, extended = F.col("src"), F.concat(
+            nxt_cur, extended = F.col("src_id"), F.concat(
                 F.array(F.col("hop_tok"), F.col("pred")), F.col("walk")
             )
         else:
             joined = walks.join(
-                edges_tok, walks["cur"] == edges_tok["src"], "left"
+                edges_tok, walks["cur"] == edges_tok["src_id"], "left"
             )
-            nxt_cur, extended = F.col("dst"), F.concat(
+            nxt_cur, extended = F.col("dst_id"), F.concat(
                 F.col("walk"), F.array(F.col("pred"), F.col("hop_tok"))
             )
         dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
@@ -611,6 +621,38 @@ def bfs_canonical_walks(
     return out
 
 
+def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
+    """(token) → (token, tid) with DENSE ids 0..n-1, assigned without a
+    single-partition global sort: per-partition row_number + a broadcast
+    of per-partition offsets (the zipWithIndex pattern, all JVM-side).
+    Dense ids matter for the corpus layout: an id drawn from 0..|vocab|
+    has log2(|vocab|) bits of entropy, so parquet+zstd store ~2-3 bytes
+    per token instead of 8 incompressible xxhash64 bytes."""
+    distinct = tokens.select(col).distinct().withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in distinct.groupBy("_pid").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = distinct.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    out = (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(col, (F.col("_off") + F.col("_rn") - 1).alias("tid"))
+    )
+    return out
+
+
 def bfs_encoded_walks(
     kg: SparkKG,
     entities: DataFrame,
@@ -621,54 +663,85 @@ def bfs_encoded_walks(
 ) -> tuple[DataFrame, DataFrame]:
     """Dictionary-encoded BFS corpus: walks as ``array<bigint>`` token
     ids plus a (tid, token) vocabulary table — the at-scale storage
-    layout. A depth-2 walk carries 5 × 8 bytes instead of 5 × ~30-40
-    byte md5-repr strings, cutting corpus bytes materialized/written
-    ~4-8× (the walk-write stage is bandwidth-bound on one box; see
-    BENCH/BASELINE.md). Ids are xxhash64 of the canonical token —
-    assigned with zero extra shuffles; collision odds ~n²/2⁶⁵.
+    layout. Ids are DENSE (0..|vocab|, via :func:`dense_token_ids`), so
+    a depth-2 walk stores 5 × ~log2(|vocab|) bits after parquet+zstd
+    instead of 5 × ~30-40-byte md5-repr strings — the walk-write stage
+    is bandwidth-bound on one box (BENCH/BASELINE.md), and low-entropy
+    ids are what the encoder can actually crush. Frontier JOIN keys stay
+    xxhash64 of the vertex name (8-byte shuffles, no name strings;
+    collision odds ~|V|²/2⁶⁵ as in pagerank).
 
     Returns (walks, vocab); join walks through the vocab (or feed ids
     straight to Word2Vec as strings) to recover the md5-repr corpus.
     """
-    toks = vertex_tokens(kg, seed_entities, md5_bytes).withColumn(
-        "tid", F.xxhash64("token")
-    )
+    # toks and the seed set are each REFERENCED 2-3× below; without a
+    # persist every reference re-runs entity_names' 2|E|-row distinct
+    # plus the md5-repr SQL (measured 24 s of the vocab build alone)
+    toks = vertex_tokens(kg, seed_entities, md5_bytes).persist()
     e = kg.edges
+    preds = e.select(F.col("pred").alias("token")).distinct()
+    # seed names enter the vocab verbatim: keep_root roots use them
+    # directly, and keep_root=False roots fall back to them for seeds
+    # that aren't KG vertices (random.py:155-163 rule)
+    seed_set = _seeds(entities).persist()
+    root_names = seed_set.select(F.col("entity").alias("token"))
+    vocab = dense_token_ids(
+        toks.select("token").union(preds).union(root_names)
+    ).persist()
+    # name → in-walk tid (the md5-repr token's id, verbatim for the
+    # reference's seed-entity rule)
+    vtid = toks.join(vocab, "token").select("name", "tid")
     edges_tok = _edge_side(
         kg,
-        e.join(toks.withColumnRenamed("name", "dst"), "dst")
-        .select(
-            "src",
+        e.join(vtid.withColumnRenamed("name", "dst"), "dst")
+        .withColumnRenamed("tid", "hop_tid")
+        .join(
+            # restrict vocab to the distinct predicates BEFORE the
+            # broadcast: |preds| rows, not the whole |vocab|
+            F.broadcast(
+                preds.join(vocab, "token").select(
+                    F.col("token").alias("pred"),
+                    F.col("tid").alias("pred_tid"),
+                )
+            ),
             "pred",
-            "dst",
-            F.col("tid").alias("hop_tid"),
-            F.xxhash64("pred").alias("pred_tid"),
+        )
+        .select(
+            F.xxhash64("src").alias("src_id"),
+            F.xxhash64("dst").alias("dst_id"),
+            "hop_tid",
+            "pred_tid",
         )
         .persist(),
     )
-    seeds = _seeds(entities).join(
-        toks.withColumnRenamed("name", "entity"), "entity", "left"
+    verb = vocab.select(
+        F.col("token").alias("entity"), F.col("tid").alias("verb_tid")
     )
-    root_tid = (
-        F.xxhash64("entity")
-        if keep_root
-        else F.coalesce(F.col("tid"), F.xxhash64("entity"))
-    )
+    seeds = seed_set.join(verb, "entity", "left")
+    if keep_root:
+        root_tid = F.col("verb_tid")
+    else:
+        seeds = seeds.join(
+            vtid.withColumnRenamed("name", "entity"), "entity", "left"
+        )
+        root_tid = F.coalesce("tid", "verb_tid")
     walks = seeds.select(
         "entity",
-        F.col("entity").alias("cur"),
+        F.xxhash64("entity").alias("cur"),
         F.array(root_tid).alias("walk"),
     )
     finished: DataFrame | None = None
     for depth in range(max_depth):
         joined = walks.join(
-            edges_tok, walks["cur"] == edges_tok["src"], "left"
+            edges_tok, walks["cur"] == edges_tok["src_id"], "left"
         )
-        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
+        dead = joined.where(F.col("pred_tid").isNull()).select(
+            "entity", "walk"
+        )
         finished = dead if finished is None else finished.unionByName(dead)
-        walks = joined.where(F.col("pred").isNotNull()).select(
+        walks = joined.where(F.col("pred_tid").isNotNull()).select(
             "entity",
-            F.col("dst").alias("cur"),
+            F.col("dst_id").alias("cur"),
             F.concat(
                 F.col("walk"), F.array(F.col("pred_tid"), F.col("hop_tid"))
             ).alias("walk"),
@@ -678,26 +751,7 @@ def bfs_encoded_walks(
     out = walks.select("entity", "walk")
     if finished is not None:
         out = finished.unionByName(out)
-    vocab = (
-        toks.select("tid", "token")
-        .unionByName(
-            e.select("pred").distinct().select(
-                F.xxhash64("pred").alias("tid"), F.col("pred").alias("token")
-            )
-        )
-        .unionByName(
-            _seeds(entities).select(
-                F.xxhash64("entity").alias("tid"),
-                F.col("entity").alias("token"),
-            )
-            if keep_root
-            else toks.sparkSession.createDataFrame(
-                [], "tid bigint, token string"
-            )
-        )
-        .dropDuplicates(["tid"])
-    )
-    return out, vocab
+    return out, vocab.select("tid", "token")
 
 
 def dfs_canonical_walks(

@@ -220,3 +220,78 @@ class TestStreaming:
         assert spark.table("rates_test").columns == [
             "window_start", "role", "n_turns",
         ]
+
+    def test_stream_sessionize_matches_batch(self, spark, tmp_path):
+        # applyInPandasWithState sessions ≡ batch lag-over-window
+        # sessions once the watermark has flushed every open session
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from pyrdf2vec_spark.streaming.sessionize_stream import (
+            stream_sessionize,
+        )
+
+        base = 1_700_000_000  # epoch seconds
+        rows = []
+        # u1: 3 events in one session + a 2000s-gap event → 2 sessions
+        for off in (0, 600, 1200, 3200):
+            rows.append(("u1", base + off))
+        # u2: gaps straddle the 1800s boundary exactly (1800 = same
+        # session, 1801 = new) — the precision contract
+        rows.append(("u2", base))
+        rows.append(("u2", base + 1800))
+        rows.append(("u2", base + 1800 + 1801))
+        # sentinels: push the watermark (1h) past every real session's
+        # last event + gap, then fire one more batch so timeouts run
+        far = base + 3600 + 1800 + 3600 + 100
+        drops = [
+            rows,
+            [("wm_sentinel", far)],
+            [("wm_sentinel2", far + 10)],
+        ]
+        in_dir = tmp_path / "sess_in"
+        in_dir.mkdir()
+        for i, drop in enumerate(drops):
+            df = spark.createDataFrame(
+                [(u, t) for u, t in drop], "user_id string, sec long"
+            ).select(
+                "user_id", F.timestamp_seconds("sec").alias("ts")
+            )
+            part = tmp_path / f"sess_stage_{i}"
+            df.coalesce(1).write.parquet(str(part))
+            pf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+            dst = in_dir / f"drop_{i}.parquet"
+            os.rename(part / pf, dst)
+            # file source orders by modification time: force the drops
+            # to arrive as three ordered micro-batches
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        sessions = stream_sessionize(stream, gap_seconds=1800)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in spark.table("sess_test").collect()
+            if not r["user_id"].startswith("wm_sentinel")
+        }
+        us = 1_000_000
+        expected = {
+            ("u1", base * us, (base + 1200) * us, 3),
+            ("u1", (base + 3200) * us, (base + 3200) * us, 1),
+            ("u2", base * us, (base + 1800) * us, 2),
+            ("u2", (base + 3601) * us, (base + 3601) * us, 1),
+        }
+        assert got == expected

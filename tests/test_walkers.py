@@ -662,6 +662,16 @@ class TestExtractWalks:
             ("B", ("C", "q", "B")),
         }
 
+    def test_dense_token_ids_are_dense(self, spark):
+        from pyrdf2vec_spark.walks import dense_token_ids
+
+        toks = spark.createDataFrame(
+            [(t,) for t in ["b", "a", "c", "a", "d", "b"]], "token string"
+        ).repartition(3)
+        got = {(r["token"], r["tid"]) for r in dense_token_ids(toks).collect()}
+        assert {t for t, _ in got} == {"a", "b", "c", "d"}
+        assert sorted(i for _, i in got) == [0, 1, 2, 3]
+
     def test_encoded_walks_decode_to_canonical(self, kg_loop, roots):
         # dictionary-encoded corpus (array<bigint> + vocab) must decode
         # byte-identically to the canonical string corpus

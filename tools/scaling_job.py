@@ -29,7 +29,17 @@ def main():
     # string arrays for comparison (≈5× the bytes)
     encoded = os.environ.get("SCALE_ENCODED", "1") != "0"
     turns = 10
-    spark = get_spark("scaling-job")
+    # corpus parquet codec: zstd trades write bandwidth (the one-box
+    # bottleneck; a cluster scales it with executors) for CPU (which
+    # scales with cores) — see BENCH/BASELINE.md codec comparison
+    codec = os.environ.get("SCALE_CODEC", "zstd")
+    conf = {"spark.sql.parquet.compression.codec": codec}
+    # ad-hoc conf experiments: SCALE_EXTRA_CONF="k=v;k2=v2"
+    for kv in os.environ.get("SCALE_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            conf[k.strip()] = v.strip()
+    spark = get_spark("scaling-job", extra_conf=conf)
     # warmup: a miniature end-to-end run (same operators, same codegen
     # paths) so JIT/whole-stage-codegen compilation — a fixed per-JVM
     # cost that a long-lived cluster pays once — is excluded from the
