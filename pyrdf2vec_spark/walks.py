@@ -43,7 +43,12 @@ def _edge_side(kg: SparkKG, df: DataFrame) -> DataFrame:
             return F.broadcast(df)
     except Exception:
         pass
-    return df
+    # pin sort-merge above the limit: with compact (dense-id) edge
+    # tables the compressed shuffle size sits near the 64 MB
+    # autoBroadcast threshold, and AQE nondeterministically flips the
+    # frontier join to a broadcast hash join — a multi-million-entry
+    # hash table per task (measured 3-6x walk-stage blowups)
+    return df.hint("merge")
 
 
 def _seeds(entities: DataFrame) -> DataFrame:
@@ -671,8 +676,12 @@ def bfs_encoded_walks(
     xxhash64 of the vertex name (8-byte shuffles, no name strings;
     collision odds ~|V|²/2⁶⁵ as in pagerank).
 
-    Returns (walks, vocab); join walks through the vocab (or feed ids
-    straight to Word2Vec as strings) to recover the md5-repr corpus.
+    Returns (walks, vocab) with walks = (root, walk): ``root`` is the
+    vocab id of the seed entity's VERBATIM name (so the corpus is pure
+    integers — no strings ride the frontier shuffles or the write; join
+    vocab on root to recover the entity name), ``walk`` the id array.
+    Feed ids straight to Word2Vec as strings, or join through the vocab
+    to recover the md5-repr corpus.
     """
     # toks and the seed set are each REFERENCED 2-3× below; without a
     # persist every reference re-runs entity_names' 2|E|-row distinct
@@ -726,7 +735,7 @@ def bfs_encoded_walks(
         )
         root_tid = F.coalesce("tid", "verb_tid")
     walks = seeds.select(
-        "entity",
+        F.col("verb_tid").alias("root"),
         F.xxhash64("entity").alias("cur"),
         F.array(root_tid).alias("walk"),
     )
@@ -736,11 +745,11 @@ def bfs_encoded_walks(
             edges_tok, walks["cur"] == edges_tok["src_id"], "left"
         )
         dead = joined.where(F.col("pred_tid").isNull()).select(
-            "entity", "walk"
+            "root", "walk"
         )
         finished = dead if finished is None else finished.unionByName(dead)
         walks = joined.where(F.col("pred_tid").isNotNull()).select(
-            "entity",
+            "root",
             F.col("dst_id").alias("cur"),
             F.concat(
                 F.col("walk"), F.array(F.col("pred_tid"), F.col("hop_tid"))
@@ -748,7 +757,7 @@ def bfs_encoded_walks(
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = walks.select("entity", "walk")
+    out = walks.select("root", "walk")
     if finished is not None:
         out = finished.unionByName(out)
     return out, vocab.select("tid", "token")

@@ -680,8 +680,10 @@ class TestExtractWalks:
             seed_entities=roots,
         )
         lut = {r["tid"]: r["token"] for r in vocab.collect()}
+        # root is the vocab id of the entity's VERBATIM name — the
+        # corpus is pure integers, names live only in the vocab
         decoded = {
-            (r["entity"], tuple(lut[t] for t in r["walk"]))
+            (lut[r["root"]], tuple(lut[t] for t in r["walk"]))
             for r in enc.collect()
         }
         expect = walks_set(
