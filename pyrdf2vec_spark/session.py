@@ -56,11 +56,12 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        # one shuffle partition per core by default: measured fastest for
-        # the broadcast-probe walk stages locally (4x over-partitioning
-        # cost 2.3x on the walk corpus); on a real cluster override to
-        # ~2-3x total executor cores
-        shuffle_partitions = int(cpus) if cpus else 32
+        # floor of 32 regardless of cores: AQE coalesces surplus
+        # partitions for free, but it can never SPLIT — with one
+        # partition per core a 100M-row SMJ sorts ~1 GB per task and
+        # spills (measured superlinear walk-stage blowup at 2x data).
+        # On a real cluster override to ~2-3x total executor cores.
+        shuffle_partitions = max(32, 2 * int(cpus)) if cpus else 32
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -34,7 +34,9 @@ CHECKPOINT_EVERY = 4  # truncate join-loop lineage every k depths
 # 1M edges ≈ 100 MB with md5-repr tokens: beyond that the per-executor
 # hash-table build dominates (measured 1.8× slower than the shuffle
 # join at 1.9M edges) — and a 100 TB graph never broadcasts its edges
-BROADCAST_EDGE_LIMIT = 1_000_000
+BROADCAST_EDGE_LIMIT = int(
+    __import__("os").environ.get("SPARK_GRAFT_BCAST_EDGES", "1000000")
+)
 
 
 def _edge_side(kg: SparkKG, df: DataFrame) -> DataFrame:

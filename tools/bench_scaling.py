@@ -51,9 +51,10 @@ def write_md(summary: dict, reps: int) -> None:
     n_low, n_high = summary["n_low"], summary["n_high"]
     encoded = lo.get("encoded", True)
     layout = (
-        "dictionary-encoded (array<bigint> walks + vocab table — "
-        "`bfs_encoded_walks`, ~8 bytes/token vs ~30-40 byte md5-repr "
-        "strings)"
+        "dictionary-encoded with DENSE ids (root id + array<bigint> walks "
+        "+ vocab table — `bfs_encoded_walks`; ids carry ~log2(|vocab|) "
+        "bits so parquet+zstd stores ~2-3 bytes/token vs ~30-40 byte "
+        "md5-repr strings)"
         if encoded
         else "md5-repr string arrays"
     )
@@ -63,18 +64,23 @@ North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. No multi-node cluster exists in this sandbox, so per the
 driver instruction the evidence is the SAME job on the SAME input at
 two local parallelism levels: `local[{n_low}]` (N) vs `local[{n_high}]`
-(4N). Each config ran {reps}×; minimum wall time used (least-noise
-estimate — the box is shared and run-to-run variance is 1.5-2x).
+(4N), hard-pinned with taskset. Configs ran {reps}× each (sampled
+across the session to catch quiet windows — the box is shared and
+ambient load inflates wall times 1.3-2x); minimum wall time used, all
+rep walls listed below.
 
 Job: tools/scaling_job.py — synth {lo['n_turns']:,} transcript turns →
 vectorized Arrow extraction → triples → KG build → fused BFS depth-2 +
 md5 canonicalization → walk corpus WRITTEN as zstd parquet
 ({lo['n_walks']:,} walks, {layout}; a count() would let Catalyst prune
 the walk arrays, so the write measures real token materialization).
-AQE + skew-join on, shuffle to tmpfs. Frontier joins shuffle xxhash64
-bigint keys, not entity-name strings; zstd (vs snappy) trades write
-bandwidth — the one-box bottleneck a cluster scales with executors —
-for CPU, measured 41.8→26.3 s on the 8-core walk stage back-to-back.
+AQE + skew-join on, shuffle to tmpfs, 32 shuffle partitions at BOTH
+parallelism levels (identical plan granularity). The corpus is pure
+integers: frontier joins shuffle xxhash64 bigint keys and the stored
+rows are (root id, dense-id array) — no strings in the shuffles or the
+write; zstd (vs snappy) trades write bandwidth — the one-box
+bottleneck a cluster scales with executors — for CPU, measured
+41.8→26.3 s on the 8-core walk stage back-to-back.
 
 | config | extract (s) | walks (s) | total (s) | turns/s | walks/s |
 |---|---|---|---|---|---|
@@ -87,9 +93,15 @@ All rep wall times: local[{n_low}] = {lo['all_wall_sec']}, local[{n_high}] = {hi
 (extraction stage alone: {summary['scaling_efficiency_extract']:.2f};
 walk stage alone: {summary['scaling_efficiency_walks']:.2f}).
 
-Round-1 comparison (string-array corpus): walk-stage efficiency was
-0.59; the dictionary-encoded write cuts bytes materialized ~5× and is
-the layout a 100 TB pipeline stores anyway (int corpus + vocab).
+Round-over-round honesty note: round 1 reported 0.79 overall from
+lo=159.72/hi=50.7. This round BOTH configs got faster (lo 146.9,
+hi 49.9 — the engine improved at every parallelism level and walks/s
+rose 14%/5%), yet the ratio DROPS to {summary['scaling_efficiency']:.2f}: round 1's lo minimum was
+ambient-noise-inflated (its three lo reps were 160-195 s), which
+flattered the ratio. The per-stage numbers below are the faithful
+picture: extraction {summary['scaling_efficiency_extract']:.2f}, walk
+stage {summary['scaling_efficiency_walks']:.2f} pinned by one memory
+bus, calibration ceiling 0.87 (below).
 
 ## Analysis — what limits the local proxy, and why a real cluster does better
 
@@ -97,17 +109,36 @@ the layout a 100 TB pipeline stores anyway (int corpus + vocab).
   BASELINE.md — is CPU-bound (vectorized Arrow UDFs, zero shuffle) and
   is the stage whose behavior transfers directly to a multi-executor
   cluster, where each executor brings its own cores AND memory bus.
+  Quiet-window extraction efficiency measured 0.93-0.97 across the
+  session; the tabled min-wall pair gives {summary['scaling_efficiency_extract']:.2f}.
+- The calibration ceiling for ANY job on this box: a trivially
+  parallel sha2-over-80M-rows job (zero shuffle, zero write) measures
+  **0.87 warm** at the same 2→8 pinned cores — i.e. even
+  embarrassingly parallel work cannot show >0.87 here. Against that
+  ceiling, extraction is at parity and the overall {summary['scaling_efficiency']:.2f} reflects
+  the walk stage's write path, not the plan.
 - The walk stage materializes {lo['n_walks']:,} array rows; on ONE box
   all cores share a single memory bus and one tmpfs, so array
   construction + parquet encode compete for bandwidth that a real
   cluster scales WITH the executor count (4N executors = 4× aggregate
   memory bandwidth + 4× disks — exactly the resource fixed in this
-  proxy). The plan itself is shuffle-free (broadcast adjacency below
-  BROADCAST_EDGE_LIMIT; shuffle join + AQE skew splitting above).
+  proxy). The shuffle-substage (KG build: distinct + aggregate)
+  separately measures 0.93 — Spark's shuffle machinery itself scales
+  on this box when data fits the bus.
 - local[32] on this 32-vCPU box anti-scales: every pandas-UDF task
   pairs a JVM thread with a Python worker, so local[32] schedules ~64
   runnable threads plus GC — oversubscription, not a plan property.
   N/4N are therefore chosen under-subscribed ({n_low}/{n_high}).
+- Shuffle partitions are sized by DATA, not cores: AQE can only
+  coalesce, never split, so a too-small initial partition count makes
+  each sort-merge task sort ~1 GB and spill — measured as a
+  superlinear walk-stage blowup (73.7 s → 327 s) at 2× input with one
+  partition per core. The session default now floors at 32 and the
+  job scales it ~1 partition / 15k conversations.
+- Broadcasting the 3.8M-edge table (even all-integer, ~40 MB) was
+  re-measured 2.4× slower than the pinned sort-merge join at 8 cores
+  (hash-probe cost on 56M frontier rows dominates); the
+  BROADCAST_EDGE_LIMIT=1M policy stands.
 
 ## Design choices that hold at 1000 executors / 100 TB
 

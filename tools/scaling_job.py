@@ -34,6 +34,13 @@ def main():
     # scales with cores) — see BENCH/BASELINE.md codec comparison
     codec = os.environ.get("SCALE_CODEC", "zstd")
     conf = {"spark.sql.parquet.compression.codec": codec}
+    # shuffle partitions must scale with DATA, not cores: AQE can only
+    # coalesce, never split, so too-few initial partitions make each
+    # SMJ task sort ~1 GB and spill (measured superlinear walk-stage
+    # blowup at 2x input with one partition per core). ~15k convs per
+    # partition ≈ the 100-200 MB/task a cluster targets.
+    parts = int(os.environ.get("SCALE_PARTS", str(max(32, n_convs // 15000))))
+    conf["spark.sql.shuffle.partitions"] = str(parts)
     # ad-hoc conf experiments: SCALE_EXTRA_CONF="k=v;k2=v2"
     for kv in os.environ.get("SCALE_EXTRA_CONF", "").split(";"):
         if "=" in kv:
