@@ -94,8 +94,8 @@ All rep wall times: local[{n_low}] = {lo['all_wall_sec']}, local[{n_high}] = {hi
 walk stage alone: {summary['scaling_efficiency_walks']:.2f}).
 
 Round-over-round honesty note: round 1 reported 0.79 overall from
-lo=159.72/hi=50.7. This round BOTH configs got faster (lo 146.9,
-hi 49.9 — the engine improved at every parallelism level and walks/s
+lo=159.72/hi=50.7. This round BOTH configs got faster (lo {lo['wall_sec']},
+hi {hi['wall_sec']} — the engine improved at every parallelism level and walks/s
 rose 14%/5%), yet the ratio DROPS to {summary['scaling_efficiency']:.2f}: round 1's lo minimum was
 ambient-noise-inflated (its three lo reps were 160-195 s), which
 flattered the ratio. The per-stage numbers below are the faithful
