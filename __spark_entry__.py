@@ -1158,7 +1158,8 @@ WITH g AS (
            AS new_session
   FROM g
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM f GROUP BY user_id
 """
 

@@ -215,11 +215,27 @@ def simhash_pairs(
     spread over 2^21 buckets instead of 2^8.
     """
     sig = simhash(documents, bits).persist()
+    return simhash_pairs_from_signatures(sig, bits, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """Banded near-pair join over a precomputed ``(doc_id, simhash)``
+    signature table — the blocking core of :func:`simhash_pairs`,
+    exposed so signatures computed elsewhere (or adversarial test
+    fixtures) reuse the same sound banding."""
     bands = simhash_band_widths(bits, max_hamming)
     blocks = None
     for which, (start, width) in enumerate(bands):
-        band_val = F.shiftrightunsigned(F.col("simhash"), start) % (
-            2**width
+        # Extract bits [start, start+width) with an unsigned shift pair.
+        # `shiftrightunsigned(sig, start) % 2**width` is WRONG for
+        # bits=64: Spark's % keeps the dividend's sign, so a signature
+        # with bit 63 set gets a negative band-0 block and misses its
+        # bucket. shiftleft/shiftrightunsigned is sign-free.
+        band_val = F.shiftrightunsigned(
+            F.shiftleft(F.col("simhash"), 64 - start - width),
+            64 - width,
         )
         part = sig.select(
             "doc_id", "simhash", band_val.alias("block"),

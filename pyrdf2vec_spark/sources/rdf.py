@@ -118,8 +118,13 @@ def parse_turtle(text: str) -> list[tuple[str, str, str]]:
     for m in _TTL_TOKEN.finditer(text):
         if m.group("literal") is not None:
             # lang/datatype suffix rides the same match; keep the
-            # lexical form only (parity with triples_from_nt)
-            toks.append(("literal", _unescape(m.group("literal").strip('"'))))
+            # lexical form only (parity with triples_from_nt).
+            # Strip exactly the delimiter — .strip('"') would also eat
+            # an escaped quote at the literal's edge ("abc\"" → abc\)
+            # and quote-adjacent content in triple-quoted literals.
+            raw = m.group("literal")
+            ndelim = 3 if raw.startswith('"""') else 1
+            toks.append(("literal", _unescape(raw[ndelim:-ndelim])))
             continue
         kind = m.lastgroup
         if kind in ("local", "pname"):

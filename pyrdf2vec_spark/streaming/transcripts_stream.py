@@ -84,9 +84,15 @@ def stream_triples_watermarked(
     pay the extraction cost twice.
     """
     stream = read_transcript_stream(spark, input_dir)
-    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
-        ["conv_id", "turn_idx"]
-    )
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain
+    # dropDuplicates whose key subset excludes the event-time column,
+    # Structured Streaming never evicts dedup state — it grows with
+    # total distinct turns forever. The WithinWatermark variant expires
+    # each key once the watermark passes its event time, which is the
+    # bounded-state behavior this function promises.
+    deduped = stream.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         triples_only(extract_triples(batch_df)).write.mode(

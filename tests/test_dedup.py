@@ -13,6 +13,7 @@ from pyrdf2vec_spark.functions.dedup import (
     simhash,
     simhash_band_widths,
     simhash_pairs,
+    simhash_pairs_from_signatures,
 )
 
 
@@ -109,6 +110,52 @@ class TestSimhashPairs:
         pairs = simhash_pairs(docs, bits=64, max_hamming=3)
         assert pairs.columns == ["a", "b", "hamming"]
         assert all(r["hamming"] <= 3 for r in pairs.collect())
+
+    def test_64bit_sign_bit_band0(self, spark):
+        # Regression for the signed-% banding bug: with bits=64 a
+        # signature with bit 63 set made band 0's block negative under
+        # Spark's sign-preserving %, so a pair whose ONLY untouched band
+        # is band 0 fell into different buckets and was dropped. Craft
+        # exactly that: bit 63 set on both, the two flips both outside
+        # band 0 (one in each of bands 1 and 2 of the 22/21/21 split).
+        base = -(2**63) | 0x0000_0055_5555_5555  # bit 63 set
+        bands = simhash_band_widths(64, 2)
+        b1_start, b2_start = bands[1][0], bands[2][0]
+        other = base ^ (1 << b1_start) ^ (1 << b2_start)
+        sig = spark.createDataFrame(
+            [(1, base), (2, other), (3, 7)],
+            "doc_id long, simhash long",
+        )
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_pairs_from_signatures(sig, 64, 2).collect()
+        }
+        assert (1, 2, 2) in got
+        # distance-0 self-band sanity: far doc 3 pairs with neither
+        assert not any(3 in (a, b) for a, b, _ in got)
+
+    def test_64bit_full_recall_vs_brute_force(self, spark):
+        # brute-force differential entirely at bits=64 — covers every
+        # band's sign-free extraction, not just band 0
+        rng = random.Random(42)
+        vals = []
+        for i in range(60):
+            v = rng.getrandbits(64)
+            vals.append((i, v - 2**64 if v >= 2**63 else v))
+        sig_map = dict(vals)
+        sig = spark.createDataFrame(vals, "doc_id long, simhash long")
+        expect = {
+            (a, b, bin((sig_map[a] ^ sig_map[b]) & (2**64 - 1)).count("1"))
+            for a, b in itertools.combinations(sorted(sig_map), 2)
+            if bin((sig_map[a] ^ sig_map[b]) & (2**64 - 1)).count("1") <= 40
+        }
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_pairs_from_signatures(
+                sig, 64, 40
+            ).collect()
+        }
+        assert got == expect
 
     def test_16bit_signature_matches_legacy_sum_form(self, spark):
         # OR-assembly must equal the old arithmetic sum for bits < 63

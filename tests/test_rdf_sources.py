@@ -63,6 +63,30 @@ class TestTurtleParser:
         assert ("http://base.org/rel", f"{EX}knows", f"{EX}alice") in got
         assert len(got) == 7
 
+    def test_literal_ending_in_escaped_quote(self):
+        # regression: .strip('"') used to eat the escaped quote and
+        # leave a dangling backslash (abc\ instead of abc")
+        ttl = (
+            '@prefix ex: <http://e/> .\n'
+            'ex:a ex:says "abc\\"" .\n'
+            'ex:a ex:quip "\\"quoted\\"" .\n'
+        )
+        got = set(parse_turtle(ttl))
+        assert ("http://e/a", "http://e/says", 'abc"') in got
+        assert ("http://e/a", "http://e/quip", '"quoted"') in got
+
+    def test_triple_quoted_literal_quote_edges(self):
+        ttl = (
+            '@prefix ex: <http://e/> .\n'
+            'ex:a ex:doc """"starts and ends with a quote\\"""" .\n'
+        )
+        got = set(parse_turtle(ttl))
+        assert (
+            "http://e/a",
+            "http://e/doc",
+            '"starts and ends with a quote"',
+        ) in got
+
     def test_undefined_prefix_raises(self):
         with pytest.raises(ValueError):
             parse_turtle("nope:x nope:y nope:z .")

@@ -64,9 +64,13 @@ def main():
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows")
             continue
-        ores = con.sql(oracles[name])
-        ocols = ores.columns
-        orows = [tuple(r) for r in ores.fetchall()]
+        # Fetch via pandas (.df()), NOT fetchall(): the driver's harness
+        # goes through pandas, where DuckDB HUGEINT (e.g. sum(int))
+        # coerces to float64 — fetchall() would hide that class of
+        # mismatch (it bit us on events_sessionize in round 2).
+        odf = con.sql(oracles[name]).df()
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         ok_cols = sorted(scols) == sorted(ocols)
         ok_n = len(srows) == len(orows)
         sh = value_hash(srows, scols)
