@@ -19,10 +19,20 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.storagelevel import StorageLevel
 
 
 class SparkWord2Vec:
     """fit/transform contract of pyrdf2vec/embedders/embedder.py:11-51."""
+
+    # MLlib Word2Vec builds its vocabulary ON THE DRIVER and broadcasts
+    # the full weight matrix to every executor per sync: driver memory
+    # is O(vocab × dim × 8 bytes × 2 matrices). At 100 TB with an open
+    # vocab this is the pipeline's one remaining driver-side bound —
+    # e.g. 100M words × 100 dims ≈ 160 GB, an OOM long after the fit
+    # started. The guard below fails FAST with the actual estimate and
+    # the two pruning levers (min_count, max_vocab_size) instead.
+    DRIVER_VOCAB_BUDGET_BYTES = 8 << 30  # 8 GiB of weights
 
     def __init__(
         self,
@@ -33,6 +43,7 @@ class SparkWord2Vec:
         seed: int = 42,
         step_size: float = 0.025,
         num_partitions: int = 1,
+        max_vocab_size: int | None = None,
     ):
         # num_partitions > 1 parallelizes skip-gram training across
         # executors (MLlib defaults to 1 — single-task training, the
@@ -52,6 +63,9 @@ class SparkWord2Vec:
             .setNumPartitions(num_partitions)
         )
         self.model: Word2VecModel | None = None
+        self._vector_size = vector_size
+        self._min_count = min_count
+        self.max_vocab_size = max_vocab_size
 
     def fit(self, walks: DataFrame, deterministic: bool = False) -> "SparkWord2Vec":
         """Fit skip-gram over walks(entity, walk array<string>).
@@ -63,10 +77,80 @@ class SparkWord2Vec:
         input order for the same guarantee. Leave False for large runs.
         """
         corpus = walks.select("walk")
-        if deterministic:
-            corpus = corpus.orderBy(F.col("walk"))
-        self.model = self._w2v.fit(corpus)
+        # Persist before the vocab guard: the corpus is read twice
+        # (guard count + fit), MLlib's fit re-reads it per iteration,
+        # and the cache boundary keeps any upstream Python UDF (e.g.
+        # FastText subword augmentation) in its own Arrow-eval stage
+        # instead of being duplicated into the guard's shuffle map side
+        # (where Catalyst cannot evaluate it).
+        cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            corpus = self._guard_vocab(cached)
+            if deterministic:
+                corpus = corpus.orderBy(F.col("walk"))
+            self.model = self._w2v.fit(corpus)
+        finally:
+            # MLlib caches its internal sentence RDD during fit, so the
+            # input cache is safe to drop as soon as fit returns
+            cached.unpersist()
         return self
+
+    def _guard_vocab(self, corpus: DataFrame) -> DataFrame:
+        """Enforce the driver-memory vocab bound BEFORE the fit starts.
+
+        One distributed agg counts the post-min_count vocabulary; if
+        ``max_vocab_size`` is set and exceeded, the corpus is pruned to
+        the top-N tokens by frequency (gensim's max_vocab_size lever —
+        the reference exposes it implicitly via gensim kwargs). If the
+        surviving vocab × dim weight matrices still exceed
+        DRIVER_VOCAB_BUDGET_BYTES, raise with the estimate instead of
+        letting the MLlib fit OOM the driver hours in.
+        """
+        counts = (
+            corpus.select(F.explode("walk").alias("_tok"))
+            .groupBy("_tok")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        if self._min_count > 0:
+            counts = counts.where(F.col("_cnt") >= self._min_count)
+        vocab_n = counts.count()
+        if self.max_vocab_size and vocab_n > self.max_vocab_size:
+            # TakeOrderedAndProject (orderBy+limit), never a global sort
+            keep = counts.orderBy(
+                F.col("_cnt").desc(), F.col("_tok")
+            ).limit(self.max_vocab_size).select("_tok")
+            kept = F.broadcast(keep) if self.max_vocab_size <= 1_000_000 else keep
+            pruned = (
+                corpus.withColumn("_wid", F.monotonically_increasing_id())
+                .select(
+                    "_wid", F.posexplode("walk").alias("_pos", "_tok")
+                )
+                .join(kept, "_tok")
+                .groupBy("_wid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_tok"))
+                    ).alias("_sorted")
+                )
+                .select(
+                    F.expr("transform(_sorted, s -> s._tok)").alias("walk")
+                )
+            )
+            corpus = pruned.where(F.size("walk") > 0)
+            vocab_n = self.max_vocab_size
+        est = vocab_n * self._vector_size * 8 * 2
+        if est > self.DRIVER_VOCAB_BUDGET_BYTES:
+            raise ValueError(
+                f"Word2Vec vocabulary of {vocab_n:,} tokens × "
+                f"{self._vector_size} dims needs ~{est / 2**30:.1f} GiB "
+                "of driver memory (MLlib builds the vocab and weight "
+                "matrices driver-side) — over the "
+                f"{self.DRIVER_VOCAB_BUDGET_BYTES / 2**30:.0f} GiB "
+                "budget. Prune with min_count and/or max_vocab_size, "
+                "or raise SparkWord2Vec.DRIVER_VOCAB_BUDGET_BYTES to "
+                "match the driver's actual memory."
+            )
+        return corpus
 
     def vectors(self) -> DataFrame:
         """All learned vectors: (word, vector) — Word2VecModel.getVectors."""

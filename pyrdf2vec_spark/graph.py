@@ -80,11 +80,8 @@ class SparkKG:
         so a name may appear here twice with both flags.
         """
         e = self._edges
-        ents = (
-            e.select(F.col("src").alias("name"))
-            .union(e.select(F.col("dst").alias("name")))
-            .distinct()
-            .withColumn("is_predicate", F.lit(False))
+        ents = self.entity_names().withColumn(
+            "is_predicate", F.lit(False)
         )
         preds = (
             e.select(F.col("pred").alias("name"))
@@ -94,13 +91,22 @@ class SparkKG:
         return ents.unionByName(preds)
 
     def entity_names(self) -> DataFrame:
-        """Distinct non-predicate vertex names, column `name`."""
-        e = self._edges
-        return (
-            e.select(F.col("src").alias("name"))
-            .union(e.select(F.col("dst").alias("name")))
-            .distinct()
-        )
+        """Distinct non-predicate vertex names, column `name`.
+
+        Cached (lazily persisted) after the first call: every walker
+        references it 2-4× per run — seeds, vertex tokens, vocab roots
+        — and without the cache each reference re-runs the 2|E|-row
+        union-distinct (measured: several seconds of the walk stage's
+        fixed cost at 4M edges, at BOTH parallelism levels)."""
+        if getattr(self, "_entity_names", None) is None:
+            e = self._edges
+            names = (
+                e.select(F.col("src").alias("name"))
+                .union(e.select(F.col("dst").alias("name")))
+                .distinct()
+            )
+            self._entity_names = names.persist(StorageLevel.MEMORY_AND_DISK)
+        return self._entity_names
 
     # ------------------------------------------------------------------
     # Bulk hop / neighbor operators (kg.py get_hops / get_neighbors)

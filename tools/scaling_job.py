@@ -58,6 +58,14 @@ def main():
         wwalks, _ = bfs_encoded_walks(wkg, wkg.entity_names(), 2, md5_bytes=8)
         wwalks.write.mode("overwrite").parquet("/dev/shm/scale_warmup")
         wkg.edges.unpersist()
+    # sink selects WHAT the walk stage pays for: "write" (default) is
+    # the full pipeline cost — token materialization + parquet encode +
+    # one-box write bandwidth; "hash" is the compute-only decomposition
+    # (sum(xxhash64(walk)) + count — xxhash64 over the array column
+    # forces every token to materialize, Catalyst cannot prune it, but
+    # nothing hits storage). The pair separates "the PLAN doesn't
+    # scale" from "this box's single write path doesn't scale".
+    sink = os.environ.get("SCALE_SINK", "write")
     t_start = time.perf_counter()
     tr = synth_transcripts(spark, n_convs, turns, seed=42, vocab=scaled_vocab(n_convs))
     triples = triples_only(extract_triples(tr))
@@ -65,23 +73,63 @@ def main():
     kg.edges.count()  # materialize extraction + graph build
     t_extract = time.perf_counter()
     seeds = kg.entity_names()
-    # write the corpus (snappy parquet) rather than count(): count lets
-    # Catalyst prune the walk arrays entirely — the write measures real
-    # token materialization + encode, which is what a pipeline pays
     out_dir = os.environ.get("SCALE_OUT", "/dev/shm/scale_walks")
+    phases = {}
     if encoded:
+        if os.environ.get("SCALE_PHASES", "0") == "1":
+            # diagnostic decomposition: force the vocab/edge-prep
+            # sub-DAGs eagerly to see where 2c-vs-8c time goes (adds
+            # actions, so don't compare these walls with normal runs)
+            from pyrdf2vec_spark.walks import (
+                bfs_encoded_walks as _bew,
+                dense_token_ids,
+                vertex_tokens,
+            )
+            from pyspark.sql import functions as F
+
+            t0 = time.perf_counter()
+            toks = vertex_tokens(kg, None, 8).persist()
+            toks.count()
+            phases["vertex_tokens"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            vocab = dense_token_ids(
+                toks.select("token")
+                .union(kg.edges.select(F.col("pred").alias("token")).distinct())
+                .union(seeds.select(F.col("name").alias("token")))
+            ).persist()
+            vocab.count()
+            phases["dense_ids"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
         walks, vocab = bfs_encoded_walks(kg, seeds, 2, md5_bytes=8)
-        vocab.write.mode("overwrite").parquet(out_dir + "_vocab")
     else:
         walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8)
-    walks.write.mode("overwrite").parquet(out_dir)
-    n_walks = spark.read.parquet(out_dir).count()
+    if sink == "hash":
+        from pyspark.sql import functions as F
+
+        walk_col = walks.columns[-1]
+        row = walks.agg(
+            F.count("*").alias("n"),
+            # bit_xor, not sum: overflow-free under ANSI mode
+            F.expr(f"bit_xor(xxhash64({walk_col}))").alias("h"),
+        ).collect()[0]
+        n_walks = row["n"]
+    elif sink == "count":
+        # joins/shuffles only: count() lets Catalyst prune the walk
+        # arrays, so this isolates the BFS frontier joins from token
+        # materialization — the bottom rung of the decomposition ladder
+        n_walks = walks.count()
+    else:
+        if encoded:
+            vocab.write.mode("overwrite").parquet(out_dir + "_vocab")
+        walks.write.mode("overwrite").parquet(out_dir)
+        n_walks = spark.read.parquet(out_dir).count()
     t_end = time.perf_counter()
     wall = t_end - t_start
     print(
         json.dumps(
             {
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "sink": sink,
                 "encoded": encoded,
                 "n_turns": n_convs * turns,
                 "n_walks": n_walks,
@@ -90,6 +138,7 @@ def main():
                 "wall_sec": round(wall, 2),
                 "turns_per_sec": round(n_convs * turns / wall, 1),
                 "walks_per_sec": round(n_walks / (t_end - t_extract), 1),
+                **({"phases": phases} if phases else {}),
             }
         )
     )
