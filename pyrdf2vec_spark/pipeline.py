@@ -106,6 +106,8 @@ class RDF2VecPipeline:
         md5_bytes: int | None = 8,
         checkpoint_dir: str | None = None,
         canonicalize: bool = True,
+        min_count: int = 0,
+        max_vocab_size: int | None = None,
     ):
         self.max_depth = max_depth
         self.max_walks = max_walks
@@ -117,8 +119,18 @@ class RDF2VecPipeline:
         self.seed = seed
         self.md5_bytes = md5_bytes
         self.canonicalize = canonicalize
+        self.min_count = min_count
+        self.max_vocab_size = max_vocab_size
         self.manifest = StageManifest(checkpoint_dir) if checkpoint_dir else None
-        self.embedder = SparkWord2Vec(vector_size=vector_size, seed=seed)
+        # min_count/max_vocab_size: the driver-memory levers for the
+        # vocab guard (SURVEY §5.4.6) — an open vocab at corpus scale
+        # must be pruned before MLlib's driver-side vocab build
+        self.embedder = SparkWord2Vec(
+            vector_size=vector_size,
+            seed=seed,
+            min_count=min_count,
+            max_vocab_size=max_vocab_size,
+        )
         self.walks_: DataFrame | None = None
         self.kg_: SparkKG | None = None
         self._graph_fp: str | None = None
@@ -292,6 +304,7 @@ class RDF2VecPipeline:
     _CONFIG_KEYS = (
         "max_depth", "max_walks", "walker", "sampler", "with_reverse",
         "wl_iterations", "vector_size", "seed", "md5_bytes", "canonicalize",
+        "min_count", "max_vocab_size",
     )
 
     def save(self, path: str) -> None:

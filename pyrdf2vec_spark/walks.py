@@ -635,14 +635,30 @@ def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
     Dense ids matter for the corpus layout: an id drawn from 0..|vocab|
     has log2(|vocab|) bits of entropy, so parquet+zstd store ~2-3 bytes
     per token instead of 8 incompressible xxhash64 bytes."""
-    distinct = tokens.select(col).distinct().withColumn(
-        "_pid", F.spark_partition_id()
-    ).persist()
+    # monotonically_increasing_id = (partition id << 33) | local row
+    # sequence, assigned with ZERO extra shuffle — where the previous
+    # Window.partitionBy(_pid).orderBy(token) forced a full re-shuffle
+    # + sort of the vocab (measured seconds of the walk stage's fixed
+    # prep cost). Ids are dense but their token assignment depends on
+    # partition row order, i.e. NOT deterministic across runs — fine
+    # for the corpus layout (walks and vocab are always produced
+    # together from one assignment). On a cluster, partition loss +
+    # recompute could reorder rows within a partition and shift ids;
+    # checkpoint the vocab (or the persisted distinct) before relying
+    # on ids across job boundaries.
+    distinct = (
+        tokens.select(col)
+        .distinct()
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .persist()
+    )
+    mono_pid = F.shiftrightunsigned(F.col("_mono"), 33).cast("int")
     counts = sorted(
         (r["_pid"], r["cnt"])
-        for r in distinct.groupBy("_pid").agg(
-            F.count("*").alias("cnt")
-        ).collect()
+        for r in distinct.select(mono_pid.alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     )
     offsets, acc = [], 0
     for pid, cnt in counts:
@@ -651,11 +667,11 @@ def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
     off_df = distinct.sparkSession.createDataFrame(
         offsets or [(0, 0)], "_pid int, _off bigint"
     )
-    w = Window.partitionBy("_pid").orderBy(col)
+    local_seq = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
     out = (
-        distinct.withColumn("_rn", F.row_number().over(w))
+        distinct.withColumn("_pid", mono_pid)
         .join(F.broadcast(off_df), "_pid")
-        .select(col, (F.col("_off") + F.col("_rn") - 1).alias("tid"))
+        .select(col, (F.col("_off") + local_seq).alias("tid"))
     )
     return out
 
@@ -1548,6 +1564,18 @@ def split_walks(walks: DataFrame, with_reverse: bool = False) -> DataFrame:
 
     @pandas_udf(ArrayType(StringType()))
     def _split(col: pd.Series) -> pd.Series:
+        # vertices repeat heavily across walks — memoize per Arrow
+        # batch on (name, parity), the only two inputs split_vertex
+        # depends on
+        memo: dict = {}
+
+        def split_cached(name: str, pos: int) -> list[str]:
+            key = (name, pos & 1)
+            got = memo.get(key)
+            if got is None:
+                got = memo[key] = split_vertex(name, pos)
+            return got
+
         def go(walk):
             out: list[str] = []
             if with_reverse:
@@ -1556,7 +1584,7 @@ def split_walks(walks: DataFrame, with_reverse: bool = False) -> DataFrame:
                 for i, v in enumerate(walk):
                     if i == 0:
                         continue
-                    vs = split_vertex(v, i)
+                    vs = split_cached(v, i)
                     if pend is None:
                         pend = vs
                     else:
@@ -1568,7 +1596,7 @@ def split_walks(walks: DataFrame, with_reverse: bool = False) -> DataFrame:
                 for i, v in enumerate(walk):
                     if i == 0:
                         continue
-                    out.extend(t.lower() for t in split_vertex(v, i))
+                    out.extend(t.lower() for t in split_cached(v, i))
             # order-preserving dedup, reference split.py:123-124
             return list(dict(zip(out, out)))
 
