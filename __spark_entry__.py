@@ -354,6 +354,27 @@ def _q_dedup_simhash_pairs_h2(spark, sf):
     )
 
 
+def _q_dedup_simhash64(spark, sf):
+    # full-width signatures: 193/200 have bit 63 set (negative bigint),
+    # so this certifies sign-free band extraction engine-independently
+    from pyrdf2vec_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf).where(F.col("doc_id") < 200), bits=64)
+
+
+def _q_dedup_simhash_pairs64(spark, sf):
+    # max_hamming=2 at bits=64: band 0 holds 22 bits including nothing
+    # past bit 21, but bands at the top cover the sign bit — the oracle
+    # is UNBLOCKED brute force, so any pair the banding drops (the
+    # round-3 ADVICE bug: signed % made band-0 blocks negative) fails
+    # the row-count match
+    from pyrdf2vec_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf).where(F.col("doc_id") < 200), bits=64, max_hamming=2
+    )
+
+
 def _q_embed_topk(spark, sf):
     from pyrdf2vec_spark.functions.similarity import brute_force_topk
 
@@ -490,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_dedup_simhash64,
+        "dedup_simhash_pairs64": _q_dedup_simhash_pairs64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash_pairs_h2": _q_dedup_simhash_pairs_h2,
         "embed_topk": _q_embed_topk,
@@ -616,6 +639,55 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
         f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
     ),
 )
+
+# full-width (64-bit) SimHash oracle: votes assemble into a HUGEINT
+# then wrap into the signed BIGINT two's-complement Spark produces
+# (bit 63 set → negative). The pairs oracle is UNBLOCKED brute force
+# over all C(200,2) signature pairs — engine-independent proof that
+# the banded blocking drops nothing at full width.
+_SIMHASH64_SIG_SQL = """
+toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
+        FROM documents WHERE doc_id < 200)
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv,
+         ('0x' || substr(md5(tok), 16, 2))::BIGINT AS hv2
+  FROM toks
+), votes AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+), sig64 AS (
+  SELECT doc_id,
+         CAST(CASE WHEN ({sig}) >= 9223372036854775808::HUGEINT
+              THEN ({sig}) - 18446744073709551616::HUGEINT
+              ELSE ({sig}) END AS BIGINT) AS simhash
+  FROM votes
+)
+""".format(
+    sums=", ".join(
+        (
+            f"sum(((hv >> {b}) % 2) * 2 - 1) AS s{b}"
+            if b < 60
+            else f"sum(((hv2 >> {b - 60}) % 2) * 2 - 1) AS s{b}"
+        )
+        for b in range(64)
+    ),
+    sig=" + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    ),
+)
+
+_SIMHASH64_SQL = f"WITH {_SIMHASH64_SIG_SQL} SELECT doc_id, simhash FROM sig64"
+
+_SIMHASH64_PAIRS_SQL = f"""
+WITH {_SIMHASH64_SIG_SQL}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sig64 x JOIN sig64 y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+"""
 
 # cosine via explicit sequential folds — bit-identical to the Spark
 # side's aggregate(zip_with(...)) (same op order, same double promotion)
@@ -1271,6 +1343,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash64": _SIMHASH64_SQL,
+        "dedup_simhash_pairs64": _SIMHASH64_PAIRS_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(16, 1),
         "dedup_simhash_pairs_h2": _simhash_pairs_sql(16, 2),
         "embed_topk": _EMB_TOPK_SQL,

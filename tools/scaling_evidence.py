@@ -149,12 +149,17 @@ def main():
         "size sweep below shows it is a FIXED cost, not a scaling defect.\n"
     )
 
-    w("## Input-size sweep — fixed costs amortize\n")
-    w("| sink | turns | walks lo/hi (s) | eff walks | eff total |")
-    w("|---|---|---|---|---|")
+    w("## Input-size sweep — fixed costs vs the shared-bus ceiling\n")
+    w(
+        "| sink | turns | walks lo/hi (s) | walks/s lo/hi | eff walks "
+        "| eff total |"
+    )
+    w("|---|---|---|---|---|---|")
     for sink, n, lo, hi in trend_rows:
         w(
             f"| {sink} | {n:,} | {lo['walks_sec']} / {hi['walks_sec']} "
+            f"| {lo['walks_per_sec'] / 1e6:.2f}M / "
+            f"{hi['walks_per_sec'] / 1e6:.2f}M "
             f"| {eff(lo, hi, 'walks_sec')} | {eff(lo, hi, 'wall_sec')} |"
         )
     w("")
@@ -163,36 +168,49 @@ def main():
         "- **Same-box calibration ceiling: "
         f"{CEILING}.** A trivially parallel sha2-over-80M-rows job (zero\n"
         "  shuffle, zero write) measures 0.87 warm at the same pinned\n"
-        "  2→8 cores — no job of any shape exhibits >0.87 here. Efficiency\n"
-        "  numbers below should be read against that ceiling, not 1.0.\n"
+        "  2→8 cores — no job of any shape exhibits >0.87 here. Read the\n"
+        "  efficiency numbers against that ceiling, not against 1.0.\n"
         "- **Extraction** (the north-rule turns/sec metric) is partition-\n"
         "  local Arrow work with zero shuffle: 0.89-0.97 across quiet\n"
         "  windows — at the ceiling, i.e. parity. This is the stage whose\n"
         "  behavior transfers directly to a multi-executor cluster.\n"
-        "- **Walk stage**: an Amdahl fit over the pinned 2/4/8-core count-\n"
-        "  sink points gives ~6 s of size-independent fixed cost (driver\n"
-        "  scheduling + AQE replanning + the vocab-prep sub-stage — 5-8\n"
-        "  shuffles over the ~4M-row vocab, measured via SCALE_PHASES=1)\n"
-        "  on top of work that parallelizes. The fixed component is\n"
-        "  CONSTANT in cluster size and in input size — so its share\n"
-        "  vanishes at production scale. Measured: walk-stage efficiency\n"
-        "  RISES with input size (sweep above) exactly as the fixed-cost\n"
-        "  model predicts. An AQE-off experiment recovered ~3 s of it at 8\n"
-        "  cores (19% of the stage) — kept ON because skew-join splitting\n"
-        "  is required at real scale, where its cost share is noise.\n"
-        "- **Round-3 prep-cost reductions** (in the plan, not the\n"
-        "  evidence): `SparkKG.entity_names()` is computed once and\n"
-        "  cached (was 2-3× per walker run), and `dense_token_ids` now\n"
-        "  assigns ids via monotonically_increasing_id arithmetic —\n"
-        "  zero-shuffle zipWithIndex — replacing a full vocab re-shuffle\n"
-        "  + sort under a Window.\n"
-        "- **What a real cluster changes**: 4N executors bring 4× memory\n"
-        "  bandwidth and 4× disks (this box shares one bus and one tmpfs\n"
-        "  across all cores), and production inputs amortize the fixed\n"
-        "  driver costs that dominate this proxy's gap. The plan itself\n"
-        "  shuffles int keys, pins sort-merge above the broadcast limit,\n"
-        "  checkpoints lineage, and contains no driver-side collects of\n"
-        "  entity data (BENCH/PLANS.md).\n\n"
+        "- **Walk stage, two opposing size trends.** (a) ~6 s of size-\n"
+        "  and-core-count-independent fixed cost — Amdahl fit over pinned\n"
+        "  2/4/8-core count-sink points; components measured directly:\n"
+        "  AQE replanning (~3 s at 8c, shown by an AQE-off pair that\n"
+        "  still scaled at 0.68 — so AQE is NOT the gap) and the\n"
+        "  vocab-prep sub-stage (5-8 shuffles over the ~4M-row vocab,\n"
+        "  SCALE_PHASES=1). Amortization of this fixed cost RAISES\n"
+        "  2-core per-core throughput as input grows (1.24→1.36→1.55M\n"
+        "  walks/s in the sweep). (b) The 8-core side is capped at\n"
+        "  ~3.4-3.9M walks/s at EVERY input size — all 8 cores share one\n"
+        "  memory bus and one tmpfs, and the BFS join's sort+shuffle\n"
+        "  traffic saturates it. Trend (a) lifts the 2c/8c ratio with\n"
+        "  size (0.67→0.72 at 2×); trend (b) pulls it back at 4× (0.55)\n"
+        "  as the 8-core cap binds while 2 cores keep improving. Neither\n"
+        "  trend is a property of the PLAN: a real 4N-executor cluster\n"
+        "  multiplies memory bandwidth and disks WITH the cores — the\n"
+        "  exact resource this one-box proxy holds fixed — and its\n"
+        "  production inputs amortize the fixed driver cost to noise.\n"
+        "- **The ladder refutes the round-2 write-path hypothesis\n"
+        "  honestly**: count/hash/write efficiencies are within 0.03 of\n"
+        "  each other, so the missing efficiency is NOT parquet encode\n"
+        "  or the write — it is the shared-bus join core plus fixed\n"
+        "  prep, decomposed above.\n"
+        "- **Round-3 prep-cost reductions** (plan-side): \n"
+        "  `SparkKG.entity_names()` is computed once and cached (was\n"
+        "  2-3× per walker run), and `dense_token_ids` assigns ids via\n"
+        "  monotonically_increasing_id arithmetic — zero-shuffle\n"
+        "  zipWithIndex — replacing a vocab-wide re-shuffle + sort under\n"
+        "  a Window. A/B (same window, old vs new code, 8c+2c) showed\n"
+        "  the deltas are within ambient noise on this box; the wins are\n"
+        "  structural (two fewer vocab-sized shuffles per run).\n"
+        "- **Measurement hygiene**: every run is taskset-pinned; the\n"
+        "  extract stage is the noise canary (quiet ≈ 21 s at 8c / 80 s\n"
+        "  at 2c; ambient load on this shared VM inflates 1.3-2×);\n"
+        "  minimum wall over reps sampled across the session; stuck\n"
+        "  py4j gateways (~1/30 runs) killed and rerun; one 142.9 s\n"
+        "  8-core outlier (next rep: 50.6 s) retained in the JSONL.\n\n"
         "## Design choices that hold at 1000 executors / 100 TB\n\n"
         "- one deduplicated edge table, persisted; inverse adjacency =\n"
         "  join on dst (no second copy)\n"
