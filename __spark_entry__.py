@@ -307,6 +307,18 @@ def _q_text_fingerprint(spark, sf):
     return fingerprints(_docs(spark, sf))
 
 
+def _q_text_chunks(spark, sf):
+    # sliding-window chunking (64-word windows, 16-word overlap) — the
+    # training/embedding prep step; pure Catalyst, partition-local
+    from pyrdf2vec_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf).where(F.col("doc_id") < 300),
+        chunk_words=64,
+        overlap_words=16,
+    )
+
+
 def _q_dedup_exact(spark, sf):
     from pyrdf2vec_spark.functions.dedup import exact_dedup
 
@@ -507,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_chunks": _q_text_chunks,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -582,6 +595,23 @@ _LANGID_SQL = (
     " 'en' WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'"
     " ELSE 'zh' END AS lang_pred FROM m"
 )
+
+_CHUNKS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS words
+  FROM documents WHERE doc_id < 300
+), c AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, greatest(1, len(words) - 16), 48)) AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST((s - 1) / 48 AS INT) AS chunk_idx,
+       array_to_string(words[s : least(s + 63, len(words))], ' ')
+         AS chunk_text,
+       CAST(least(s + 63, len(words)) - s + 1 AS INT) AS n_chunk_words
+FROM c
+"""
 
 _FINGERPRINT_SQL = """
 WITH w AS (
@@ -1335,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _QUALITY_SQL,
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "text_chunks": _CHUNKS_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
                    min(doc_id) AS keep_id

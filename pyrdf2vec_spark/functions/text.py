@@ -94,6 +94,42 @@ def language_id(documents: DataFrame) -> DataFrame:
     return out
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_words: int = 64, overlap_words: int = 16
+) -> DataFrame:
+    """Sliding-window document chunking — the standard prep step for
+    training/embedding pipelines: each document becomes ⌈n/stride⌉
+    word-window chunks of ``chunk_words`` words with ``overlap_words``
+    of overlap (stride = chunk - overlap). Pure Catalyst: one
+    sequence+transform per row, then posexplode — partition-local,
+    zero shuffle, scales with executors.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_words). The final
+    window is kept when shorter than chunk_words (never empty for
+    non-empty text); windows that would start past the end are not
+    emitted, so consecutive chunks overlap by exactly overlap_words
+    except possibly the last.
+    """
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError("need 0 <= overlap_words < chunk_words")
+    stride = chunk_words - overlap_words
+    words = "split(trim(lower(text)), ' +')"
+    starts = (
+        f"sequence(1, greatest(1, size({words}) - {overlap_words}), {stride})"
+    )
+    chunks = F.expr(
+        f"transform({starts}, i -> slice({words}, i, {chunk_words}))"
+    )
+    return documents.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "_w")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("_w", " ").alias("chunk_text"),
+        F.size("_w").alias("n_chunk_words"),
+    )
+
+
 def fingerprints(documents: DataFrame, shingle_words: int = 3) -> DataFrame:
     """Document fingerprinting: minimum md5 over word n-gram shingles
     (winnowing-style stable content fingerprint, robust to reordering

@@ -1,0 +1,56 @@
+"""chunk_documents edge cases: window arithmetic, overlap, coverage.
+The hash-exact DuckDB oracle (`text_chunks`) covers the bulk
+semantics; these pin the boundary behavior."""
+
+import pytest
+
+from pyrdf2vec_spark.functions.text import chunk_documents
+
+
+def _chunks(spark, text, chunk_words, overlap_words):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_words, overlap_words).collect()
+    return sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_words"]) for r in rows
+    )
+
+
+class TestChunkDocuments:
+    def test_exact_multiple(self, spark):
+        text = " ".join(f"w{i}" for i in range(8))
+        got = _chunks(spark, text, chunk_words=4, overlap_words=1)
+        # stride 3: starts 1,4,7 → windows [0:4],[3:7],[6:8]
+        assert got == [
+            (0, "w0 w1 w2 w3", 4),
+            (1, "w3 w4 w5 w6", 4),
+            (2, "w6 w7", 2),
+        ]
+
+    def test_overlap_invariant(self, spark):
+        words = [f"t{i}" for i in range(50)]
+        got = _chunks(spark, " ".join(words), 8, 3)
+        for (i1, c1, _), (i2, c2, _) in zip(got, got[1:]):
+            assert i2 == i1 + 1
+            # consecutive chunks share exactly overlap_words words
+            assert c1.split()[-3:] == c2.split()[:3]
+        # every word appears in some chunk, in order
+        stitched = got[0][1].split()
+        for _, c, _ in got[1:]:
+            stitched.extend(c.split()[3:])
+        assert stitched == words
+
+    def test_short_doc_single_chunk(self, spark):
+        assert _chunks(spark, "only three words", 64, 16) == [
+            (0, "only three words", 3)
+        ]
+
+    def test_zero_overlap(self, spark):
+        got = _chunks(spark, "a b c d e", 2, 0)
+        assert got == [(0, "a b", 2), (1, "c d", 2), (2, "e", 1)]
+
+    def test_invalid_params_raise(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, 4, 4)
+        with pytest.raises(ValueError):
+            chunk_documents(df, 4, -1)
