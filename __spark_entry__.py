@@ -319,6 +319,26 @@ def _q_text_chunks(spark, sf):
     )
 
 
+def _q_embed_quantized(spark, sf):
+    # int8 symmetric quantization; qvec serialized via array_join so
+    # the value hash is engine-independent (list reprs differ)
+    from pyrdf2vec_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return quantize_embeddings(emb.where(F.col("vec_id") < 200)).select(
+        "vec_id",
+        F.array_join("qvec", ",").alias("qvec_csv"),
+        F.round("scale", 6).alias("scale_r"),
+    )
+
+
+def _q_embed_quantized_topk(spark, sf):
+    from pyrdf2vec_spark.functions.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 def _q_dedup_exact(spark, sf):
     from pyrdf2vec_spark.functions.dedup import exact_dedup
 
@@ -520,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_chunks": _q_text_chunks,
+        "embed_quantized": _q_embed_quantized,
+        "embed_quantized_topk": _q_embed_quantized_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -719,6 +741,30 @@ FROM sig64 x JOIN sig64 y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
 """
 
+# int8 symmetric quantization twin: shared floor(x/scale + 0.5) rule
+_MAXABS = "list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE))))"
+
+
+def _quant_cte(name: str, source: str) -> str:
+    m = _MAXABS.format(v="embedding")
+    return f"""{name} AS (
+  SELECT vec_id,
+         {m} / 127.0 AS scale,
+         CASE WHEN {m} = 0.0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE) / ({m} / 127.0) + 0.5) AS INT))
+         END AS qvec
+  FROM {source}
+)"""
+
+
+_EMB_QUANT_SQL = f"""
+WITH {_quant_cte("quant", "(SELECT * FROM embeddings WHERE vec_id < 200)")}
+SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv,
+       round(scale, 6) AS scale_r
+FROM quant
+"""
+
 # cosine via explicit sequential folds — bit-identical to the Spark
 # side's aggregate(zip_with(...)) (same op order, same double promotion)
 _DOT_SQL = (
@@ -737,6 +783,25 @@ scored AS (
            / ({_NORM_SQL.format(a='q.qv')} * {_NORM_SQL.format(a='e.embedding')})
            AS cos
   FROM q, embeddings e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+_EMB_QUANT_TOPK_SQL = f"""
+WITH {_quant_cte("quant", "embeddings")},
+q AS (SELECT vec_id AS query_id, qvec AS qv FROM quant WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.qv', b='e.qvec')}
+           / ({_NORM_SQL.format(a='q.qv')} * {_NORM_SQL.format(a='e.qvec')})
+           AS cos
+  FROM q, quant e WHERE e.vec_id != q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id
@@ -1366,6 +1431,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_chunks": _CHUNKS_SQL,
+        "embed_quantized": _EMB_QUANT_SQL,
+        "embed_quantized_topk": _EMB_QUANT_TOPK_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
                    min(doc_id) AS keep_id

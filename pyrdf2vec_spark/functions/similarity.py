@@ -59,6 +59,58 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) ∈ [-127, 127]. 4× smaller than
+    float32 — the standard memory lever for corpus-scale ANN (int8
+    vectors stay in executor memory where float32 spills). Pure
+    Catalyst, partition-local, zero shuffle. Cosine is invariant to the
+    per-vector scale, so quantized cosine ≈ full-precision cosine with
+    only rounding error.
+
+    floor(x + 0.5) is used instead of round() so the Spark and DuckDB
+    (oracle) sides share one deterministic rounding rule. All-zero
+    vectors quantize to zeros with scale 0.
+
+    Returns (id_col, qvec array<int>, scale double).
+    """
+    v = vec_col
+    maxabs = f"array_max(transform({v}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"({maxabs} / 127.0D)"
+    qvec = (
+        f"CASE WHEN {maxabs} = 0.0D THEN transform({v}, x -> 0) "
+        f"ELSE transform({v}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5D) AS INT)) END"
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.expr(qvec).alias("qvec"),
+        F.expr(scale).alias("scale"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors — the
+    4×-less-memory approximate baseline (per-vector scales cancel in
+    cosine, so only quantization rounding separates this from
+    :func:`brute_force_topk`)."""
+    qemb = quantize_embeddings(embeddings, id_col, vec_col)
+    qq = quantize_embeddings(queries, id_col, vec_col)
+    return brute_force_topk(
+        qemb, qq, k=k, id_col=id_col, vec_col="qvec"
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

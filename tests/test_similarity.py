@@ -107,3 +107,42 @@ class TestNeardupRecall:
         r4 = len(got4 & truth) / len(truth)
         assert r2 >= 0.35  # measured 0.48 on this uniform corpus
         assert r4 >= r2
+
+
+class TestQuantization:
+    def test_int8_range_and_scale(self, spark, emb):
+        from pyrdf2vec_spark.functions.similarity import (
+            quantize_embeddings,
+        )
+
+        rows = quantize_embeddings(emb.limit(50)).collect()
+        for r in rows:
+            assert all(-127 <= q <= 127 for q in r["qvec"])
+            assert max(abs(q) for q in r["qvec"]) == 127  # maxabs hits full scale
+            assert r["scale"] > 0
+
+    def test_zero_vector_quantizes_to_zeros(self, spark):
+        from pyrdf2vec_spark.functions.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert got[1]["qvec"] == [0, 0, 0] and got[1]["scale"] == 0.0
+        assert got[2]["qvec"] == [64, -127, 32]
+
+    def test_quantized_topk_recall_vs_exact(self, spark, emb, exact):
+        # int8 rounding barely moves cosine: ≥90% of exact top-5
+        # neighbors survive quantization on this worst-case corpus
+        from pyrdf2vec_spark.functions.similarity import quantized_topk
+
+        q = emb.where(F.col("vec_id") < 20)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in quantized_topk(emb, q, k=5).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, recall
