@@ -339,6 +339,14 @@ def _q_embed_quantized_topk(spark, sf):
     return quantized_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _q_dedup_components(spark, sf):
+    # exact links + MinHash-LSH pairs -> connected components; the
+    # oracle closes the same edge set with a recursive CTE
+    from pyrdf2vec_spark.functions.dedup import dedup_components
+
+    return dedup_components(_docs(spark, sf).where(F.col("doc_id") < 400))
+
+
 def _q_dedup_exact(spark, sf):
     from pyrdf2vec_spark.functions.dedup import exact_dedup
 
@@ -545,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs64": _q_dedup_simhash_pairs64,
@@ -912,6 +921,30 @@ verified AS (SELECT a, b, c / (sa.n_sh + sb.n_sh - c) AS j
              WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5)
 SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, round(j, 6) AS jaccard
 FROM verified JOIN docs da ON da.name = a JOIN docs db ON db.name = b
+"""
+
+
+
+_DEDUP_COMPONENTS_SQL_TEMPLATE = """
+WITH RECURSIVE near AS ({near_sql}),
+docs400 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+reps AS (SELECT text, min(doc_id) AS rep FROM docs400 GROUP BY text),
+exact AS (SELECT d.doc_id AS a, r.rep AS b
+          FROM docs400 d JOIN reps r USING (text)
+          WHERE d.doc_id != r.rep),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM near
+          UNION SELECT a, b FROM exact),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT)
+         AS component_id
+FROM docs400 d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
 """
 
 
@@ -1440,6 +1473,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_pairs": _NGRAM_PAIRS_SQL,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "dedup_components": _DEDUP_COMPONENTS_SQL_TEMPLATE.format(
+            near_sql=_minhash_pairs_sql()
+        ),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash64": _SIMHASH64_SQL,
         "dedup_simhash_pairs64": _SIMHASH64_PAIRS_SQL,

@@ -136,6 +136,45 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_components(
+    documents: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    shingle_words: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup clustering: exact-dup links (doc → its
+    text's min-doc representative) plus MinHash-LSH near-dup pairs,
+    closed under the alternating large/small-star connected-components
+    loop. Every document gets ``(doc_id, component_id)`` with
+    component_id = the smallest doc_id in its duplicate cluster —
+    i.e. "keep component_id, drop the rest" IS the dedup policy at
+    corpus scale. All stages are banded/bucketed (no all-pairs) and the
+    CC loop converges in O(log n) rounds.
+    """
+    from pyrdf2vec_spark.canon import connected_components
+
+    near = minhash_dedup_pairs(
+        documents, num_hashes, band_size, jaccard_threshold, shingle_words
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    reps = documents.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    exact = (
+        documents.join(reps, "text")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("a"), F.col("rep").alias("b"))
+    )
+    cc = connected_components(near.unionByName(exact), max_iterations)
+    return (
+        documents.select("doc_id")
+        .join(cc.withColumnRenamed("name", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component_id"),
+        )
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash document signatures (bit-majority over token hashes).
 

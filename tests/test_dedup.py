@@ -164,6 +164,32 @@ class TestSimhashPairs:
         assert all(0 <= r["simhash"] < 2**16 for r in rows)
 
 
+class TestDedupComponents:
+    def test_exact_near_and_transitive(self, spark):
+        from pyrdf2vec_spark.functions.dedup import dedup_components
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (0, base),
+                (1, base),  # exact dup of 0
+                (2, base + " extra"),  # near-dup of 0/1
+                (3, base + " extra words here"),  # near-dup of 2 (chain)
+                (4, "completely different content with nothing shared at all ok"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dedup_components(
+                docs, jaccard_threshold=0.5
+            ).collect()
+        }
+        # 0-3 collapse transitively into one cluster rooted at 0
+        assert got[0] == got[1] == got[2] == got[3] == 0
+        assert got[4] == 4  # singleton keeps itself
+
+
 class TestExactDedup:
     def test_groups(self, spark):
         docs = spark.createDataFrame(
