@@ -189,7 +189,11 @@ def sampled_walks(
         norm = norm.join(
             tokens.withColumnRenamed("name", hop_col), hop_col
         ).withColumnRenamed("token", "hop_tok")
-    norm = norm.persist()
+    # pin the edge-side strategy exactly like the BFS frontier joins
+    # (_edge_side): without it AQE flips the per-depth join between
+    # broadcast and sort-merge run-to-run near the size threshold —
+    # measured 3-6x q3 swings at sf0.1
+    norm = _edge_side(kg, norm.persist())
 
     seeds = _seeds(entities)
     if tokens is not None:
@@ -1418,6 +1422,7 @@ def community_sampled_walks(
     norm = weights.withColumn(
         "norm_weight", F.col("weight").cast("double")
     ).where(F.col("norm_weight") > 0).persist()
+    norm = _edge_side(kg, norm)
 
     walks = _seeds(entities).crossJoin(
         entities.sparkSession.range(max_walks).select(
