@@ -106,6 +106,17 @@ class SparkWord2Vec:
         DRIVER_VOCAB_BUDGET_BYTES, raise with the estimate instead of
         letting the MLlib fit OOM the driver hours in.
         """
+        if self.max_vocab_size is None and self._min_count <= 0:
+            # no pruning requested → the guard only needs the SIZE of
+            # the vocab: one map-side HLL pass (approx_count_distinct,
+            # ~2% error, padded 5%) instead of a full groupBy shuffle
+            vocab_n = int(
+                corpus.select(F.explode("walk").alias("_tok"))
+                .agg(F.approx_count_distinct("_tok").alias("n"))
+                .first()["n"]
+                * 1.05
+            )
+            return self._check_budget(corpus, vocab_n)
         counts = (
             corpus.select(F.explode("walk").alias("_tok"))
             .groupBy("_tok")
@@ -138,6 +149,9 @@ class SparkWord2Vec:
             )
             corpus = pruned.where(F.size("walk") > 0)
             vocab_n = self.max_vocab_size
+        return self._check_budget(corpus, vocab_n)
+
+    def _check_budget(self, corpus: DataFrame, vocab_n: int) -> DataFrame:
         est = vocab_n * self._vector_size * 8 * 2
         if est > self.DRIVER_VOCAB_BUDGET_BYTES:
             raise ValueError(
