@@ -106,15 +106,35 @@ def main():
 
     timed("q3_dfs_sampled_walks", q3, reps=2)
 
+    # q4a: the driver vocab-memory guard as its OWN line (one map-side
+    # HLL pass over the corpus) — round 3 hid this inside the fit
+    # timing and q4 looked like it regressed 3.15→8.90 s
+    guard_holder = {}
+
+    def q4a():
+        n = (
+            corpus_holder["walks"]
+            .select(F.explode("walk").alias("_tok"))
+            .agg(F.approx_count_distinct("_tok", 0.02).alias("n"))
+            .first()["n"]
+        )
+        guard_holder["vocab_n"] = int(n * 1.06)
+        return guard_holder["vocab_n"]
+
+    timed("q4a_vocab_guard", q4a, reps=2)
+
     # q4: Word2Vec fit ONLY, over the persisted q2 corpus (the corpus
-    # build is q2's number); training parallelized across partitions
+    # build is q2's number; the guard is q4a's — the vocab bound is
+    # passed as a hint so the guard re-check is scan-free); training
+    # parallelized across partitions
     def q4():
         w2v = SparkWord2Vec(
-            vector_size=32, seed=42, num_partitions=8
+            vector_size=32, seed=42, num_partitions=8,
+            vocab_size_hint=guard_holder["vocab_n"],
         ).fit(corpus_holder["walks"])
         return w2v.vectors().count()
 
-    timed("q4_word2vec_fit", q4)
+    timed("q4_word2vec_fit", q4, reps=2)
     corpus_holder["walks"].unpersist()
 
     # q5: PageRank over the entity graph — fixed 20 iterations (tol=0):
@@ -139,6 +159,23 @@ def main():
         return brute_force_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count()
 
     timed("q7_embed_topk", q7, reps=2)
+
+    # q8: the at-scale corpus layout end-to-end — dictionary-encoded
+    # BFS walks (array<bigint> + vocab table) written as zstd parquet;
+    # tracks the encoded-write path round-over-round (BENCH/BASELINE.md
+    # covers it only inside the scaling job's ladder)
+    def q8():
+        from pyrdf2vec_spark.walks import bfs_encoded_walks
+
+        seeds = kg.entity_names().where(F.col("name").startswith("c:"))
+        walks, vocab = bfs_encoded_walks(kg, seeds, 2, md5_bytes=8)
+        out = "/dev/shm/bench_q8_corpus"
+        spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+        vocab.write.mode("overwrite").parquet(out + "_vocab")
+        walks.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    extras["n_encoded_walks"] = timed("q8_encoded_write", q8)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -44,6 +44,7 @@ class SparkWord2Vec:
         step_size: float = 0.025,
         num_partitions: int = 1,
         max_vocab_size: int | None = None,
+        vocab_size_hint: int | None = None,
     ):
         # num_partitions > 1 parallelizes skip-gram training across
         # executors (MLlib defaults to 1 — single-task training, the
@@ -66,6 +67,11 @@ class SparkWord2Vec:
         self._vector_size = vector_size
         self._min_count = min_count
         self.max_vocab_size = max_vocab_size
+        # vocab_size_hint: a caller-known bound on the distinct-token
+        # count (e.g. the exact vocab table size from bfs_encoded_walks)
+        # — lets the guard validate the driver budget WITHOUT any scan
+        # of the corpus. Only consulted when no pruning is configured.
+        self.vocab_size_hint = vocab_size_hint
 
     def fit(self, walks: DataFrame, deterministic: bool = False) -> "SparkWord2Vec":
         """Fit skip-gram over walks(entity, walk array<string>).
@@ -107,14 +113,21 @@ class SparkWord2Vec:
         letting the MLlib fit OOM the driver hours in.
         """
         if self.max_vocab_size is None and self._min_count <= 0:
+            if self.vocab_size_hint is not None:
+                # the caller already knows the vocab bound (e.g. the
+                # dictionary-encoded corpus carries its exact vocab
+                # count) — the guard costs ZERO extra scans
+                return self._check_budget(corpus, self.vocab_size_hint)
             # no pruning requested → the guard only needs the SIZE of
-            # the vocab: one map-side HLL pass (approx_count_distinct,
-            # ~2% error, padded 5%) instead of a full groupBy shuffle
+            # the vocab: one map-side HLL pass (approx_count_distinct)
+            # instead of a full groupBy shuffle. rsd=0.02 is a STANDARD
+            # DEVIATION, not a bound — pad by 3σ (×1.06) so a vocab
+            # modestly over budget cannot slip under via HLL noise.
             vocab_n = int(
                 corpus.select(F.explode("walk").alias("_tok"))
-                .agg(F.approx_count_distinct("_tok").alias("n"))
+                .agg(F.approx_count_distinct("_tok", 0.02).alias("n"))
                 .first()["n"]
-                * 1.05
+                * 1.06
             )
             return self._check_budget(corpus, vocab_n)
         counts = (
@@ -151,13 +164,27 @@ class SparkWord2Vec:
             vocab_n = self.max_vocab_size
         return self._check_budget(corpus, vocab_n)
 
+    # MLlib stores syn0/syn1 as Array[Float] → 4 bytes per weight, two
+    # matrices; ×1.5 safety covers JVM object headers plus the per-sync
+    # broadcast copy (an explicit factor, NOT part of the raw estimate)
+    _BYTES_PER_WEIGHT = 4
+    _WEIGHT_MATRICES = 2
+    _JVM_SAFETY = 1.5
+
     def _check_budget(self, corpus: DataFrame, vocab_n: int) -> DataFrame:
-        est = vocab_n * self._vector_size * 8 * 2
+        est = int(
+            vocab_n
+            * self._vector_size
+            * self._BYTES_PER_WEIGHT
+            * self._WEIGHT_MATRICES
+            * self._JVM_SAFETY
+        )
         if est > self.DRIVER_VOCAB_BUDGET_BYTES:
             raise ValueError(
                 f"Word2Vec vocabulary of {vocab_n:,} tokens × "
                 f"{self._vector_size} dims needs ~{est / 2**30:.1f} GiB "
-                "of driver memory (MLlib builds the vocab and weight "
+                "of driver memory (4-byte syn0+syn1 weights ×1.5 JVM "
+                "overhead; MLlib builds the vocab and weight "
                 "matrices driver-side) — over the "
                 f"{self.DRIVER_VOCAB_BUDGET_BYTES / 2**30:.0f} GiB "
                 "budget. Prune with min_count and/or max_vocab_size, "

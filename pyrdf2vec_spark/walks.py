@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
+from pyspark.storagelevel import StorageLevel
 
 from pyrdf2vec_spark.graph import SparkKG
 from pyrdf2vec_spark.samplers import edge_weights, normalize_hop_weights
@@ -517,6 +518,35 @@ def canonicalize_walks(
     return out.dropDuplicates(["entity", "walk"])
 
 
+def _kg_walk_cache(kg: SparkKG) -> dict:
+    """Per-KG memo of walker prep artifacts (token tables, tokenized
+    edge tables). A KG is immutable after construction, so anything
+    derived only from its edges is safe to reuse across BFS / DFS /
+    encoded walker runs — rebuilding these per run was a measured part
+    of the walk stage's fixed prep cost (BENCH/BASELINE.md)."""
+    cache = getattr(kg, "_walk_cache", None)
+    if cache is None:
+        cache = kg._walk_cache = {}
+    return cache
+
+
+def md5_token_base(kg: SparkKG, md5_bytes: int = 8) -> DataFrame:
+    """(name, mtoken): the md5-digest repr of every entity vertex —
+    computed once per KG per digest width and persisted; every walker
+    run overlays its own seed rule on top instead of recomputing
+    O(|V|) digests."""
+    cache = _kg_walk_cache(kg)
+    key = ("md5_tokens", md5_bytes)
+    if key not in cache:
+        repr_expr = _md5_repr_sql("name", md5_bytes)
+        cache[key] = (
+            kg.entity_names()
+            .select("name", F.expr(repr_expr).alias("mtoken"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return cache[key]
+
+
 def vertex_tokens(
     kg: SparkKG,
     entities: DataFrame | None = None,
@@ -525,20 +555,18 @@ def vertex_tokens(
     """(name, token) for every entity vertex: the md5-digest repr, or
     the verbatim name for seed entities (random.py:155-163 rule).
     O(|V|) repr computations — each hub vertex hashed once, not once
-    per walk occurrence."""
-    names = kg.entity_names()
-    if entities is not None:
-        seeds = _seeds(entities).select(
-            F.col("entity").alias("name"), F.lit(True).alias("is_seed")
-        )
-        names = names.join(seeds, "name", "left")
-    else:
-        names = names.withColumn("is_seed", F.lit(False))
-    repr_expr = _md5_repr_sql("name", md5_bytes)
-    return names.select(
+    per walk occurrence — and the digest table itself is cached per KG
+    (:func:`md5_token_base`)."""
+    base = md5_token_base(kg, md5_bytes)
+    if entities is None:
+        return base.select("name", F.col("mtoken").alias("token"))
+    seeds = _seeds(entities).select(
+        F.col("entity").alias("name"), F.lit(True).alias("is_seed")
+    )
+    return base.join(seeds, "name", "left").select(
         "name",
         F.when(F.coalesce("is_seed", F.lit(False)), F.col("name"))
-        .otherwise(F.expr(repr_expr))
+        .otherwise(F.col("mtoken"))
         .alias("token"),
     )
 
@@ -568,24 +596,32 @@ def bfs_canonical_walks(
         return bfs_walks(kg, entities, max_depth, is_reverse=is_reverse)
     toks = vertex_tokens(kg, seed_entities, md5_bytes)
     hop_col = "src" if is_reverse else "dst"
-    e = kg.edges
     # frontier join keys are xxhash64 bigints, not entity-name strings:
     # every BFS depth sort-merge-shuffles the (growing) frontier on this
     # key above BROADCAST_EDGE_LIMIT, and 8-byte int sort/exchange beats
     # arbitrary-length names; walk CONTENT stays md5-repr strings
-    # (collision odds ~|V|²/2⁶⁵, same documented bound as pagerank)
-    edges_tok = _edge_side(
-        kg,
-        e.join(toks.withColumnRenamed("name", hop_col), hop_col)
-        .withColumnRenamed("token", "hop_tok")
-        .select(
-            F.xxhash64("src").alias("src_id"),
-            "pred",
-            F.xxhash64("dst").alias("dst_id"),
-            "hop_tok",
+    # (collision odds ~|V|²/2⁶⁵, same documented bound as pagerank).
+    # The tokenized edge table depends on the KG alone when no seed
+    # overlay rides the hop side — cache it per (width, direction) so
+    # repeated walker runs skip the |E|-row join + persist entirely.
+    cache = _kg_walk_cache(kg)
+    ekey = ("edges_tok", md5_bytes, hop_col)
+    built = cache.get(ekey) if seed_entities is None else None
+    if built is None:
+        built = (
+            kg.edges.join(toks.withColumnRenamed("name", hop_col), hop_col)
+            .withColumnRenamed("token", "hop_tok")
+            .select(
+                F.xxhash64("src").alias("src_id"),
+                "pred",
+                F.xxhash64("dst").alias("dst_id"),
+                "hop_tok",
+            )
+            .persist()
         )
-        .persist(),
-    )
+        if seed_entities is None:
+            cache[ekey] = built
+    edges_tok = _edge_side(kg, built)
     root_tok = (
         F.col("entity")
         if keep_root
@@ -643,16 +679,15 @@ def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
     # sequence, assigned with ZERO extra shuffle — where the previous
     # Window.partitionBy(_pid).orderBy(token) forced a full re-shuffle
     # + sort of the vocab (measured seconds of the walk stage's fixed
-    # prep cost). Ids are dense but their token assignment depends on
-    # partition row order, i.e. NOT deterministic across runs — fine
-    # for the corpus layout (walks and vocab are always produced
-    # together from one assignment). On a cluster, partition loss +
-    # recompute could reorder rows within a partition and shift ids;
-    # checkpoint the vocab (or the persisted distinct) before relying
-    # on ids across job boundaries.
+    # prep cost). sortWithinPartitions pins a deterministic in-partition
+    # order WITHOUT a shuffle (distinct's hash partitioning is already
+    # deterministic), so the (token → id) assignment is identical across
+    # runs AND under partition loss + recompute on a cluster — the
+    # recompute-shift hazard the bare persist() left open.
     distinct = (
         tokens.select(col)
         .distinct()
+        .sortWithinPartitions(col)
         .withColumn("_mono", F.monotonically_increasing_id())
         .persist()
     )
@@ -705,10 +740,14 @@ def bfs_encoded_walks(
     Feed ids straight to Word2Vec as strings, or join through the vocab
     to recover the md5-repr corpus.
     """
-    # toks and the seed set are each REFERENCED 2-3× below; without a
-    # persist every reference re-runs entity_names' 2|E|-row distinct
-    # plus the md5-repr SQL (measured 24 s of the vocab build alone)
-    toks = vertex_tokens(kg, seed_entities, md5_bytes).persist()
+    # toks and the seed set are each REFERENCED 2-3× below; the md5
+    # digest table is cached per KG (md5_token_base), so only a seed
+    # OVERLAY (an extra join per reference) still warrants its own
+    # persist (without any cache this was a measured 24 s of the vocab
+    # build alone — entity_names distinct + md5-repr SQL per reference)
+    toks = vertex_tokens(kg, seed_entities, md5_bytes)
+    if seed_entities is not None:
+        toks = toks.persist()
     e = kg.edges
     preds = e.select(F.col("pred").alias("token")).distinct()
     # seed names enter the vocab verbatim: keep_root roots use them

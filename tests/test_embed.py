@@ -117,6 +117,16 @@ class TestWord2Vec:
             w2v.fit(corpus)
         assert w2v.model is None
 
+    def test_vocab_size_hint_skips_scan_and_checks_budget(self, spark, corpus):
+        # a caller-known vocab bound (e.g. the exact vocab-table count
+        # from bfs_encoded_walks) makes the guard scan-free — but the
+        # budget check still fires on an over-budget hint
+        w2v = SparkWord2Vec(vector_size=16, vocab_size_hint=10**9)
+        with pytest.raises(ValueError, match="driver memory"):
+            w2v.fit(corpus)
+        ok = SparkWord2Vec(vector_size=8, vocab_size_hint=100).fit(corpus)
+        assert ok.model is not None
+
     def test_max_vocab_size_prunes_to_top_frequency(self, spark):
         walks = spark.createDataFrame(
             [(["a", "b", "a", "c"],), (["a", "b", "rare"],)] * 3,

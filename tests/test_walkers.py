@@ -672,6 +672,34 @@ class TestExtractWalks:
         assert {t for t, _ in got} == {"a", "b", "c", "d"}
         assert sorted(i for _, i in got) == [0, 1, 2, 3]
 
+    def test_dense_token_ids_recompute_stable(self, spark):
+        # the (token → id) assignment must survive cache loss and
+        # partition recompute on a cluster: two INDEPENDENT calls (fresh
+        # lineage each — equivalent to a full recompute) must agree,
+        # which holds because distinct's hash partitioning plus
+        # sortWithinPartitions pin a deterministic order before
+        # monotonically_increasing_id fires
+        from pyrdf2vec_spark.walks import dense_token_ids
+
+        toks = spark.createDataFrame(
+            [(f"tok{i % 57}",) for i in range(500)], "token string"
+        ).repartition(7)
+        m1 = {r["token"]: r["tid"] for r in dense_token_ids(toks).collect()}
+        m2 = {r["token"]: r["tid"] for r in dense_token_ids(toks).collect()}
+        assert m1 == m2
+        assert sorted(m1.values()) == list(range(len(m1)))
+
+    def test_encoded_vocab_recompute_stable(self, kg_loop, roots):
+        # end-to-end id stability: two bfs_encoded_walks runs over the
+        # same KG assign identical vocab ids (the corpus can be
+        # persisted across job boundaries and re-joined to a re-derived
+        # vocab)
+        _, v1 = bfs_encoded_walks(kg_loop, roots, 2, md5_bytes=8)
+        _, v2 = bfs_encoded_walks(kg_loop, roots, 2, md5_bytes=8)
+        map1 = {r["token"]: r["tid"] for r in v1.collect()}
+        map2 = {r["token"]: r["tid"] for r in v2.collect()}
+        assert map1 == map2
+
     def test_encoded_walks_decode_to_canonical(self, kg_loop, roots):
         # dictionary-encoded corpus (array<bigint> + vocab) must decode
         # byte-identically to the canonical string corpus
