@@ -547,6 +547,28 @@ def md5_token_base(kg: SparkKG, md5_bytes: int = 8) -> DataFrame:
     return cache[key]
 
 
+def indexed_name_table(
+    kg: SparkKG, md5_bytes: int = 8
+) -> tuple[DataFrame, int]:
+    """(name, mtoken, j) with a dense, recompute-deterministic index
+    0..|V|-1 per entity vertex, plus |V| itself — cached per KG per
+    digest width. This is the single id authority for the encoded
+    corpus layout: md5-token id = j, verbatim-name id = |V|+j, so id
+    assignment never needs a vocab-wide union+distinct shuffle or a
+    token-keyed re-join."""
+    cache = _kg_walk_cache(kg)
+    key = ("indexed_names", md5_bytes)
+    if key not in cache:
+        base, n = _zip_dense_index(md5_token_base(kg, md5_bytes), "name")
+        cache[key] = (
+            base.withColumnRenamed("_idx", "j").persist(
+                StorageLevel.MEMORY_AND_DISK
+            ),
+            n,
+        )
+    return cache[key]
+
+
 def vertex_tokens(
     kg: SparkKG,
     entities: DataFrame | None = None,
@@ -684,17 +706,28 @@ def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
     # deterministic), so the (token → id) assignment is identical across
     # runs AND under partition loss + recompute on a cluster — the
     # recompute-shift hazard the bare persist() left open.
-    distinct = (
-        tokens.select(col)
-        .distinct()
-        .sortWithinPartitions(col)
+    distinct = tokens.select(col).distinct()
+    out, _ = _zip_dense_index(distinct, col)
+    return out.withColumnRenamed("_idx", "tid")
+
+
+def _zip_dense_index(df: DataFrame, sort_col: str) -> tuple[DataFrame, int]:
+    """Append a dense 0..n-1 ``_idx`` column to an already-distinct DF
+    with ZERO extra shuffle (per-partition mono ids + a broadcast of
+    per-partition offsets — the zipWithIndex pattern, all JVM-side).
+    ``sort_col`` pins a deterministic in-partition order so the
+    assignment is identical across runs and partition recomputes.
+    Returns (indexed_df, n_rows) — the row count falls out of the
+    offsets pass for free."""
+    base = (
+        df.sortWithinPartitions(sort_col)
         .withColumn("_mono", F.monotonically_increasing_id())
         .persist()
     )
     mono_pid = F.shiftrightunsigned(F.col("_mono"), 33).cast("int")
     counts = sorted(
         (r["_pid"], r["cnt"])
-        for r in distinct.select(mono_pid.alias("_pid"))
+        for r in base.select(mono_pid.alias("_pid"))
         .groupBy("_pid")
         .agg(F.count("*").alias("cnt"))
         .collect()
@@ -703,16 +736,16 @@ def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    off_df = distinct.sparkSession.createDataFrame(
+    off_df = base.sparkSession.createDataFrame(
         offsets or [(0, 0)], "_pid int, _off bigint"
     )
     local_seq = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
     out = (
-        distinct.withColumn("_pid", mono_pid)
+        base.withColumn("_pid", mono_pid)
         .join(F.broadcast(off_df), "_pid")
-        .select(col, (F.col("_off") + local_seq).alias("tid"))
+        .select(*df.columns, (F.col("_off") + local_seq).alias("_idx"))
     )
-    return out
+    return out, acc
 
 
 def bfs_encoded_walks(
@@ -739,43 +772,63 @@ def bfs_encoded_walks(
     vocab on root to recover the entity name), ``walk`` the id array.
     Feed ids straight to Word2Vec as strings, or join through the vocab
     to recover the md5-repr corpus.
+
+    Id layout (disjoint spaces off ONE per-KG indexed name table —
+    no union+distinct over 2|V| rows, no vocab→name re-join; the old
+    shape cost a measured ~3 s of fixed prep per run at 4M names):
+    ``j`` = md5 token of name j; ``|V|+j`` = verbatim name j (seed
+    roots / seed-overlay hops); ``2|V|+t`` = predicates and non-vertex
+    seed names. Ids are near-dense (verbatim slots exist only for
+    seeds), so the parquet dictionary still sees ≤ 2|V|+|P| distinct
+    values. One edge-case divergence vs the string-keyed vocab: a
+    predicate URI that also occurs as a seed entity name gets two ids
+    (one per role) — decoded corpora are identical either way.
     """
-    # toks and the seed set are each REFERENCED 2-3× below; the md5
-    # digest table is cached per KG (md5_token_base), so only a seed
-    # OVERLAY (an extra join per reference) still warrants its own
-    # persist (without any cache this was a measured 24 s of the vocab
-    # build alone — entity_names distinct + md5-repr SQL per reference)
-    toks = vertex_tokens(kg, seed_entities, md5_bytes)
-    if seed_entities is not None:
-        toks = toks.persist()
+    idx, n_v = indexed_name_table(kg, md5_bytes)
     e = kg.edges
     preds = e.select(F.col("pred").alias("token")).distinct()
+    seed_set = _seeds(entities).persist()
+    # hop-position ids: md5 id j, or the verbatim id |V|+j for names in
+    # the seed overlay (random.py:155-163 rule)
+    overlay_vocab = None
+    if seed_entities is not None:
+        ov = _seeds(seed_entities).select(
+            F.col("entity").alias("name"), F.lit(True).alias("is_seed")
+        )
+        ovj = idx.join(ov, "name", "left")
+        hop_map = ovj.select(
+            "name",
+            F.when(
+                F.coalesce("is_seed", F.lit(False)), F.col("j") + n_v
+            ).otherwise(F.col("j")).alias("hop_tid"),
+        )
+        overlay_vocab = ovj.where(F.col("is_seed")).select(
+            (F.col("j") + n_v).alias("tid"), F.col("name").alias("token")
+        )
+    else:
+        hop_map = idx.select("name", F.col("j").alias("hop_tid"))
     # seed names enter the vocab verbatim: keep_root roots use them
     # directly, and keep_root=False roots fall back to them for seeds
-    # that aren't KG vertices (random.py:155-163 rule)
-    seed_set = _seeds(entities).persist()
-    root_names = seed_set.select(F.col("entity").alias("token"))
-    vocab = dense_token_ids(
-        toks.select("token").union(preds).union(root_names)
-    ).persist()
-    # name → in-walk tid (the md5-repr token's id, verbatim for the
-    # reference's seed-entity rule)
-    vtid = toks.join(vocab, "token").select("name", "tid")
+    # that aren't KG vertices; non-vertex seeds share the small "tail"
+    # id space with the predicates (one tiny dense-id pass for both)
+    seeds_j = seed_set.join(
+        idx.select(F.col("name").alias("entity"), "j"), "entity", "left"
+    )
+    extras = seeds_j.where(F.col("j").isNull()).select(
+        F.col("entity").alias("token")
+    )
+    tail = dense_token_ids(preds.unionByName(extras)).select(
+        "token", (F.col("tid") + F.lit(2 * n_v)).alias("tid")
+    )
+    pred_tid = F.broadcast(
+        tail.join(preds, "token").select(
+            F.col("token").alias("pred"), F.col("tid").alias("pred_tid")
+        )
+    )
     edges_tok = _edge_side(
         kg,
-        e.join(vtid.withColumnRenamed("name", "dst"), "dst")
-        .withColumnRenamed("tid", "hop_tid")
-        .join(
-            # restrict vocab to the distinct predicates BEFORE the
-            # broadcast: |preds| rows, not the whole |vocab|
-            F.broadcast(
-                preds.join(vocab, "token").select(
-                    F.col("token").alias("pred"),
-                    F.col("tid").alias("pred_tid"),
-                )
-            ),
-            "pred",
-        )
+        e.join(hop_map.withColumnRenamed("name", "dst"), "dst")
+        .join(pred_tid, "pred")
         .select(
             F.xxhash64("src").alias("src_id"),
             F.xxhash64("dst").alias("dst_id"),
@@ -784,19 +837,21 @@ def bfs_encoded_walks(
         )
         .persist(),
     )
-    verb = vocab.select(
-        F.col("token").alias("entity"), F.col("tid").alias("verb_tid")
+    seeds = seeds_j.join(
+        tail.select(F.col("token").alias("entity"),
+                    F.col("tid").alias("_tail_tid")),
+        "entity",
+        "left",
     )
-    seeds = seed_set.join(verb, "entity", "left")
+    verb_tid = F.when(F.col("j").isNotNull(), F.col("j") + n_v).otherwise(
+        F.col("_tail_tid")
+    )
     if keep_root:
-        root_tid = F.col("verb_tid")
+        root_tid = verb_tid
     else:
-        seeds = seeds.join(
-            vtid.withColumnRenamed("name", "entity"), "entity", "left"
-        )
-        root_tid = F.coalesce("tid", "verb_tid")
+        root_tid = F.coalesce(F.col("j"), F.col("_tail_tid"))
     walks = seeds.select(
-        F.col("verb_tid").alias("root"),
+        verb_tid.alias("root"),
         F.xxhash64("entity").alias("cur"),
         F.array(root_tid).alias("walk"),
     )
@@ -821,7 +876,19 @@ def bfs_encoded_walks(
     out = walks.select("root", "walk")
     if finished is not None:
         out = finished.unionByName(out)
-    return out, vocab.select("tid", "token")
+    seed_vocab = seeds_j.where(F.col("j").isNotNull()).select(
+        (F.col("j") + n_v).alias("tid"), F.col("entity").alias("token")
+    )
+    if overlay_vocab is not None:
+        seed_vocab = seed_vocab.unionByName(overlay_vocab).dropDuplicates(
+            ["tid"]
+        )
+    vocab = (
+        idx.select(F.col("j").alias("tid"), F.col("mtoken").alias("token"))
+        .unionByName(seed_vocab)
+        .unionByName(tail.select("tid", "token"))
+    )
+    return out, vocab
 
 
 def dfs_canonical_walks(
@@ -1282,11 +1349,15 @@ def wl_walks(
 # ---------------------------------------------------------------------------
 def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
     """Community assignment over the undirected entity graph via label
-    propagation — the DataFrame-native stand-in for the reference's
+    propagation — the fast DataFrame-native stand-in for the reference's
     Louvain `community.best_partition` (community.py:110-128).
     Semantic (not exact) match: the reference's own output is
     nondeterministic (module-level np.random monkeypatching,
     community.py:17-33); tests assert community-structure invariants.
+    LPA floods on noisy graphs (measured: modularity 0 where Louvain
+    finds 0.3-0.5 when inter-community edges are dense) — when fidelity
+    to the reference's partition quality matters, use
+    :func:`louvain_labels`.
 
     Returns (name, community). Deterministic: ties broken by smallest
     label; each round is groupBy(node, label) → max_by(count, label).
@@ -1334,6 +1405,170 @@ def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
     out = id_map.join(labels, "id").select("name", "community")
     und.unpersist()
     id_map.unpersist()
+    return out
+
+
+def louvain_labels(
+    kg: SparkKG, sweeps: int = 8, max_levels: int = 4
+) -> DataFrame:
+    """Distributed Louvain over the undirected entity graph — the
+    fidelity-first alternative to :func:`community_labels` for the
+    reference's `community.best_partition` (community.py:110-128).
+
+    Standard multi-level structure, re-expressed as DataFrame rounds:
+
+    - **Local-move phase** from SINGLETON init: each half-sweep, nodes
+      of one id-parity class evaluate moving to the neighboring
+      community with the best modularity gain. Restricting each
+      half-sweep to one parity class breaks the two-node swap
+      oscillation synchronous local moves are known for (the same
+      device as distributed-Louvain / Gemini-style implementations);
+      singleton init is what lets communities SPLIT-free grow —
+      seeding from LPA cannot split a flooded partition because a
+      lone defector never beats its own community's pull.
+    - **Gain** is exact integer arithmetic, scaled by 2m:
+      ``2m·k_{i,c} − k_i·Σ_tot(c∖i)`` — no float ties, fully
+      deterministic (tie-break: stay, then smallest community id).
+      Longs hold 2m·k_{i,c} up to ~3·10^9 edges × hub degree 10^9;
+      beyond that switch the score to decimal(38,0).
+    - **Aggregation** between levels: communities collapse to
+      super-nodes; intra-community weight becomes a self-loop stored
+      at its directed (2×) weight so ``k = Σ w`` stays uniform.
+      Levels repeat until no merge happens or ``max_levels``.
+
+    Every round is a key-partitioned join/agg (8-byte int keys); the
+    per-level graph shrinks geometrically, so the 100-TB cost profile
+    is the first level's ~4 shuffles × sweeps. Returns
+    (name, community:bigint — a representative node id).
+
+    Measured vs a pure-Python Louvain oracle
+    (tests/test_community_quality.py): ≥ 0.9× modularity on noisy
+    planted-partition graphs where LPA floods to modularity 0.
+    """
+    nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+    edges = (
+        kg.edges.select(nid("src").alias("a"), nid("dst").alias("b"))
+        .union(kg.edges.select(nid("dst").alias("a"), nid("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    id_map = kg.entity_names().select(nid("name").alias("id"), "name")
+    mapping = None  # orig id -> current top-level community
+    for _level in range(max_levels):
+        n_nodes = edges.select("a").distinct().count()
+        m2 = edges.agg(F.sum("w")).first()[0] or 1
+        deg = edges.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed(
+            "a", "id"
+        ).localCheckpoint(eager=True)
+        labels = deg.select("id", F.col("id").alias("community")).localCheckpoint(
+            eager=True
+        )
+        link = edges.where(F.col("a") != F.col("b"))  # self-loops ≠ links
+        for sweep in range(sweeps):
+            lab_b = labels.withColumnRenamed("id", "b").withColumnRenamed(
+                "community", "_cb"
+            )
+            # k_{i,c}: weight from i into each neighboring community
+            kic = (
+                link.join(lab_b, "b")
+                .groupBy(F.col("a").alias("id"), F.col("_cb").alias("community"))
+                .agg(F.sum("w").alias("kic"))
+            )
+            sigma = (
+                labels.join(deg, "id")
+                .groupBy("community")
+                .agg(F.sum("k").alias("sigma"))
+            )
+            cur = labels.withColumnRenamed("community", "cur")
+            # a 0-weight stay row guarantees the current community is
+            # always a candidate (max(kic) keeps the real weight when
+            # a same-community neighbor exists)
+            cand = (
+                kic.unionByName(
+                    labels.select(
+                        "id", "community", F.lit(0).cast("long").alias("kic")
+                    )
+                )
+                .groupBy("id", "community")
+                .agg(F.max("kic").alias("kic"))
+            )
+            scored = (
+                cand.join(cur, "id")
+                .join(sigma, "community")
+                .join(deg, "id")
+                .withColumn(
+                    "_sig_wo_i",
+                    F.col("sigma")
+                    - F.when(
+                        F.col("community") == F.col("cur"), F.col("k")
+                    ).otherwise(F.lit(0)),
+                )
+                .withColumn(
+                    "_score2",
+                    F.lit(int(m2)).cast("long") * F.col("kic")
+                    - F.col("k") * F.col("_sig_wo_i"),
+                )
+            )
+            picked = scored.groupBy("id").agg(
+                F.min_by(
+                    "community",
+                    F.struct(
+                        (-F.col("_score2")).alias("ns"),
+                        F.when(F.col("community") == F.col("cur"), F.lit(0))
+                        .otherwise(F.lit(1))
+                        .alias("keep"),
+                        F.col("community"),
+                    ),
+                ).alias("new_community")
+            )
+            # parity gate: only one id-parity class moves per half-sweep
+            eligible = F.pmod(F.col("id"), F.lit(2)) == F.lit(sweep % 2)
+            labels = (
+                labels.join(picked, "id", "left")
+                .select(
+                    "id",
+                    F.when(
+                        eligible & F.col("new_community").isNotNull(),
+                        F.col("new_community"),
+                    )
+                    .otherwise(F.col("community"))
+                    .alias("community"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        n_comms = labels.select("community").distinct().count()
+        mapping = (
+            labels
+            if mapping is None
+            else mapping.join(
+                labels.withColumnRenamed("id", "_sup").withColumnRenamed(
+                    "community", "_next"
+                ),
+                mapping["community"] == F.col("_sup"),
+            ).select("id", F.col("_next").alias("community"))
+        ).localCheckpoint(eager=True)
+        if n_comms == n_nodes or _level == max_levels - 1:
+            break
+        # aggregate: communities become super-nodes; intra-community
+        # mass lands on (c, c) at directed weight — k = Σ w stays true
+        la = labels.withColumnRenamed("id", "a").withColumnRenamed(
+            "community", "_ca"
+        )
+        lb = labels.withColumnRenamed("id", "b").withColumnRenamed(
+            "community", "_cb"
+        )
+        edges = (
+            edges.join(la, "a")
+            .join(lb, "b")
+            .groupBy(F.col("_ca").alias("a"), F.col("_cb").alias("b"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    out = id_map.join(mapping, "id", "left").select(
+        "name", F.coalesce("community", "id").alias("community")
+    )
     return out
 
 

@@ -77,29 +77,17 @@ def main():
     phases = {}
     if encoded:
         if os.environ.get("SCALE_PHASES", "0") == "1":
-            # diagnostic decomposition: force the vocab/edge-prep
-            # sub-DAGs eagerly to see where 2c-vs-8c time goes (adds
-            # actions, so don't compare these walls with normal runs)
-            from pyrdf2vec_spark.walks import (
-                bfs_encoded_walks as _bew,
-                dense_token_ids,
-                vertex_tokens,
-            )
-            from pyspark.sql import functions as F
+            # diagnostic decomposition: force the id-prep sub-DAG
+            # eagerly to see where 2c-vs-8c time goes (adds actions, so
+            # don't compare these walls with normal runs). The indexed
+            # name table is now the ONLY vocab-sized prep artifact
+            # (round-4 restructure: no union+distinct, no vocab re-join)
+            from pyrdf2vec_spark.walks import indexed_name_table
 
             t0 = time.perf_counter()
-            toks = vertex_tokens(kg, None, 8).persist()
-            toks.count()
-            phases["vertex_tokens"] = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            vocab = dense_token_ids(
-                toks.select("token")
-                .union(kg.edges.select(F.col("pred").alias("token")).distinct())
-                .union(seeds.select(F.col("name").alias("token")))
-            ).persist()
-            vocab.count()
-            phases["dense_ids"] = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
+            _idx, _n_v = indexed_name_table(kg, 8)
+            _idx.count()
+            phases["indexed_names"] = round(time.perf_counter() - t0, 2)
         walks, vocab = bfs_encoded_walks(kg, seeds, 2, md5_bytes=8)
     else:
         walks = bfs_canonical_walks(kg, seeds, 2, md5_bytes=8)
