@@ -270,8 +270,13 @@ class SparkFastText:
     here in-vocab words keep their directly-trained vector.
 
     transform semantics mirror RDFFastTextKeyedVectors.get_vector
-    (fasttext.py:129-156): in-vocab word → its word vector; OOV word →
-    mean of its (trained) ngram-bucket vectors; no bucket hit → zeros.
+    (fasttext.py:129-156) INCLUDING gensim's composed in-vocab
+    representation (FastTextKeyedVectors.adjust_vectors): in-vocab
+    word → mean over its word vector AND its trained ngram-bucket
+    vectors (denominator 1 + n_ngrams); OOV word → mean of its
+    (trained) ngram-bucket vectors alone (denominator n_ngrams,
+    untrained buckets contributing zeros — gensim divides by
+    len(ngram_hashes) the same way); no bucket hit at all → zeros.
     """
 
     def __init__(self, vector_size: int = 64, bucket: int = 2_000_000,
@@ -318,8 +323,12 @@ class SparkFastText:
         return self
 
     def transform(self, entities: DataFrame) -> DataFrame:
-        """(word, vector) for every entity; OOV words resolve through
-        subword buckets — never raises for OOV (the FastText property)."""
+        """(word, vector) for every entity; never raises for OOV (the
+        FastText property). One uniform plan: every word's bucket
+        vectors are pooled, the word's own vector (when in vocab) joins
+        the pool with weight 1 — exactly gensim's
+        ``(word_vec + Σ ngram_vecs) / (1 + n)`` in-vocab composition
+        and ``Σ ngram_vecs / n`` OOV fallback."""
         if self._bucket_vecs is None:
             raise ValueError("You must call the `fit(walks)` method first.")
         nb = self.bucket
@@ -332,16 +341,14 @@ class SparkFastText:
         vecs = self._w2v.vectors().where(
             ~F.col("word").startswith(_BKT_PREFIX)
         )
-        known = ents.join(vecs, "word", "inner")
         dim = self.vector_size
-        oov = (
-            ents.join(vecs, "word", "left_anti")
-            .select("word", F.explode(_buckets(F.col("word"))).alias("bucket"))
-            .join(self._bucket_vecs, "bucket", "left")
-        )
         zero = F.array(*[F.lit(0.0).cast("float")] * dim)
         pooled = (
-            oov.withColumn("bv", F.coalesce("bucket_vec", zero))
+            ents.select(
+                "word", F.explode(_buckets(F.col("word"))).alias("bucket")
+            )
+            .join(self._bucket_vecs, "bucket", "left")
+            .withColumn("bv", F.coalesce("bucket_vec", zero))
             .groupBy("word")
             .agg(
                 F.count("*").alias("n"),
@@ -351,11 +358,25 @@ class SparkFastText:
                     lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
                 ).alias("sum_vec"),
             )
-            .select(
-                "word",
-                F.expr("transform(sum_vec, x -> cast(x / n as float))").alias(
-                    "vector"
+        )
+        composed = (
+            pooled.join(vecs, "word", "left")
+            .withColumn(
+                "_wv_n", F.when(F.col("vector").isNotNull(), 1).otherwise(0)
+            )
+            .withColumn(
+                "_total",
+                F.zip_with(
+                    "sum_vec",
+                    F.coalesce("vector", zero),
+                    lambda a, b: a + b,
                 ),
             )
+            .select(
+                "word",
+                F.expr(
+                    "transform(_total, x -> cast(x / (n + _wv_n) as float))"
+                ).alias("vector"),
+            )
         )
-        return known.unionByName(pooled)
+        return composed

@@ -72,14 +72,25 @@ class TestWord2Vec:
         assert compute_ngrams_bytes("plain") == [b"plain"]
 
     def test_fasttext_oov_pooling(self, spark, corpus):
-        from pyrdf2vec_spark.embed import SparkFastText
+        from pyrdf2vec_spark.embed import SparkFastText, ft_ngram_buckets
 
         ft = SparkFastText(vector_size=8, seed=5).fit(corpus)
-        # in-vocab word → word vector identical to the Word2Vec layer
+        # in-vocab word → gensim's adjust_vectors composition:
+        # (word_vec + Σ trained bucket vecs) / (1 + n_buckets)
         ents = spark.createDataFrame([(ROOTS[0],)], "word string")
         wv = {r["word"]: list(r["vector"]) for r in ft._w2v.transform(ents).collect()}
         got = {r["word"]: list(r["vector"]) for r in ft.transform(ents).collect()}
-        assert got == wv
+        bv = {
+            r["bucket"]: list(r["bucket_vec"])
+            for r in ft._bucket_vecs.collect()
+        }
+        buckets = ft_ngram_buckets(ROOTS[0], ft.bucket)
+        total = list(wv[ROOTS[0]])
+        for b in buckets:
+            for i, x in enumerate(bv.get(b, [0.0] * 8)):
+                total[i] += x
+        expect = [x / (1 + len(buckets)) for x in total]
+        assert got[ROOTS[0]] == pytest.approx(expect, abs=1e-6)
         # OOV URI sharing the http://pyRDF2Vec prefix pools a non-zero
         # vector through the shared '#'-segment bucket
         oov = spark.createDataFrame([(f"{URL}#Zelda",)], "word string")
