@@ -31,6 +31,30 @@ def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def ingest_transcripts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "stream",
+    **kwargs,
+) -> StreamingQuery:
+    """THE ingestion entry point. ``mode="stream"`` (default) runs the
+    watermarked bounded-state dedup — the only shape that survives a
+    long-lived stream; ``mode="backfill"`` runs the full-sink anti-join
+    (exact forever, but each micro-batch re-reads the sink — reserve it
+    for bounded catch-up loads)."""
+    if mode == "stream":
+        return stream_triples_watermarked(
+            spark, input_dir, output_dir, checkpoint_dir, **kwargs
+        )
+    if mode == "backfill":
+        return stream_triples(
+            spark, input_dir, output_dir, checkpoint_dir, **kwargs
+        )
+    raise ValueError(f"mode must be 'stream' or 'backfill', got {mode!r}")
+
+
 def stream_triples(
     spark: SparkSession,
     input_dir: str,
@@ -38,9 +62,12 @@ def stream_triples(
     checkpoint_dir: str,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Incremental transcripts → triples: per micro-batch, extract, then
-    append only rows not already in the sink (anti-join dedup; MERGE
-    INTO under an Iceberg catalog). Checkpointed → exactly-once files.
+    """BACKFILL tier: per micro-batch, extract, then append only rows
+    not already in the sink (anti-join dedup; MERGE INTO under an
+    Iceberg catalog). Checkpointed → exactly-once files. Cost grows
+    with sink size — long-lived streams use
+    :func:`stream_triples_watermarked` (the :func:`ingest_transcripts`
+    default).
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,6 +109,15 @@ def stream_triples_watermarked(
     Dedup key: (conv_id, turn_idx) — the per-turn identity the north
     rule orders by — BEFORE extraction, so re-delivered files don't even
     pay the extraction cost twice.
+
+    Re-emission contract: a duplicate (conv_id, turn_idx) arriving MORE
+    than ``watermark`` after the first occurrence is re-emitted (its
+    dedup state was already evicted), so the append sink may contain
+    duplicate triples beyond the watermark horizon. That is the
+    bounded-state trade by design — the authoritative dedup is the
+    at-rest tier (Iceberg MERGE / periodic exact_dedup compaction), and
+    SparkKG's build-time dropDuplicates absorbs any residue entering
+    the graph.
     """
     stream = read_transcript_stream(spark, input_dir)
     # dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain

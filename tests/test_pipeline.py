@@ -165,9 +165,11 @@ class TestStreaming:
     def test_watermarked_stream_dedup(self, spark, tmp_path):
         # state-store dedup on (conv_id, turn_idx): a re-delivered file
         # inside the watermark horizon produces zero duplicate turns,
-        # without any sink re-read
+        # without any sink re-read. ingest_transcripts routes here by
+        # DEFAULT — the watermarked sink is the wired-in long-lived
+        # stream path; the anti-join tier is opt-in ("backfill")
         from pyrdf2vec_spark.streaming.transcripts_stream import (
-            stream_triples_watermarked,
+            ingest_transcripts,
         )
 
         in_dir = str(tmp_path / "in_w")
@@ -180,7 +182,7 @@ class TestStreaming:
         synth_transcripts(spark, 15, 10, seed=2).write.mode(
             "append"
         ).parquet(in_dir)
-        q = stream_triples_watermarked(spark, in_dir, out_dir, ck)
+        q = ingest_transcripts(spark, in_dir, out_dir, ck)
         q.awaitTermination(120)
         out = spark.read.parquet(out_dir)
         # every surviving triple row came from a unique turn — the
