@@ -159,6 +159,16 @@ def _q_pagerank(spark, sf):
     )
 
 
+def _q_community_labels(spark, sf):
+    # W13: deterministic 5-round label propagation over the undirected
+    # entity graph — the community family's own oracle row (the
+    # walkers' sampling layers stay covered by the hop_prob=0 ≡
+    # sampled_walks differential and unit tests)
+    from pyrdf2vec_spark.walks import community_labels
+
+    return community_labels(_kg(spark, sf), iterations=5)
+
+
 def _q_walks_dfs(spark, sf):
     # order seeds (real branching: placed_by + one contains edge per
     # lineitem) with the engine-portable md5 hash so the weighted draw
@@ -502,6 +512,31 @@ def _q_multimodal_features(spark, sf):
     )
 
 
+def _q_multimodal_decoded(spark, sf):
+    """REAL codec path: synthesize genuine WAV (RIFF/PCM16) and PPM
+    (P6) containers, byte-level decode them back, emit 5 exact feature
+    values per media row. The oracle computes the same features
+    CLOSED-FORM from doc_id (every container parameter is a pure
+    function of it), so a hash match certifies the decode round-trip
+    without DuckDB needing a codec."""
+    from pyrdf2vec_spark.functions.multimodal import (
+        extract_features,
+        synth_real_media,
+    )
+
+    media = synth_real_media(_docs(spark, sf).where(F.col("doc_id") < 300))
+    feats = extract_features(media, dim=5, use_real_decoder=True)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "modality",
+        *[
+            F.element_at(f, i + 1).cast("double").alias(c)
+            for i, c in enumerate(["f1", "f2", "f3", "f4", "f5"])
+        ],
+    )
+
+
 def _q_transcript_pipeline(spark, sf):
     """The north-rule centerpiece as a driver-gate query: synthesize
     1000 deterministic conversations, run mention detection + linking,
@@ -540,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_norm_objfreq": _q_sampler_norm_objfreq,
         "split_degrees": _q_split_degrees,
         "pagerank": _q_pagerank,
+        "community_labels": _q_community_labels,
         "walks_dfs_sampled": _q_walks_dfs,
         "walks_dfs_canonical": _q_walks_dfs_canonical,
         "wl_labels_n1": _q_wl_labels,
@@ -566,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_sliding": _q_events_sliding,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decoded": _q_multimodal_decoded,
         "transcript_triples": _q_transcript_pipeline,
     }
 
@@ -1260,6 +1297,39 @@ slots AS (SELECT o.entity, t.wid
 """
 
 
+def _lpa_sql(iters: int = 5) -> str:
+    """Unrolled label propagation replicating walks.community_labels:
+    undirected distinct edge set, self-vote each round, most-frequent
+    label with lexicographic tie-break. One CTE pair per iteration,
+    same shape as the pagerank oracle."""
+    head = f"""WITH edges AS MATERIALIZED ({TPCH_EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL SELECT dst AS a, src AS b FROM edges) t
+  WHERE a <> b),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS community FROM edges
+  UNION SELECT DISTINCT dst, dst FROM edges)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT id, community, count(*) AS cnt FROM (
+    SELECT u.a AS id, l.community FROM und u JOIN l{p} l ON l.id = u.b
+    UNION ALL SELECT id, community FROM l{p}) t
+  GROUP BY id, community),
+l{k} AS MATERIALIZED (
+  SELECT id, community FROM (
+    SELECT id, community,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cnt DESC, community) AS rn
+    FROM c{k}) t WHERE rn = 1)""")
+    parts.append(f"\nSELECT id AS name, community FROM l{iters}")
+    return "".join(parts)
+
+
 def _pagerank_sql(alpha: float = 0.85, iters: int = 20) -> str:
     """Unrolled power-iteration PageRank (networkx semantics: uniform
     teleport, dangling mass redistributed uniformly) — one CTE pair per
@@ -1319,6 +1389,27 @@ FROM asg x JOIN asg y USING (centroid_id)
 WHERE x.id < y.id AND {COS} >= 0.35
 """
 )
+
+# closed-form replica of synth_real_media's container parameters: odd
+# doc_id = WAV ([channels, rate, n_samples, amplitude, zero-crossings]),
+# even = PPM ([width, height, mean_r, mean_g, mean_b]); every value an
+# exact integer, so the hash certifies the byte-level decode round-trip
+_MULTIMODAL_DECODED_SQL = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 1 THEN 'audio' ELSE 'image' END AS modality,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 1
+       ELSE 4 + doc_id % 5 END AS DOUBLE) AS f1,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000
+       ELSE 3 + doc_id % 4 END AS DOUBLE) AS f2,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 128 + (doc_id % 5) * 16
+       ELSE doc_id % 256 END AS DOUBLE) AS f3,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 1000 + (doc_id % 100) * 10
+       ELSE (doc_id * 7) % 256 END AS DOUBLE) AS f4,
+  CAST(CASE WHEN doc_id % 2 = 1
+       THEN (128 + (doc_id % 5) * 16 - 1) // ((8 + (doc_id % 8) * 2) // 2)
+       ELSE (doc_id * 13) % 256 END AS DOUBLE) AS f5
+FROM documents WHERE doc_id < 300
+"""
 
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
@@ -1430,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e JOIN w ON w.dst = e.dst
         """,
         "pagerank": _pagerank_sql(0.85, 20),
+        "community_labels": _lpa_sql(5),
         "walks_dfs_sampled": _dfs_sql(3, 42),
         "walks_dfs_canonical": _dfs_sql(3, 42, canonical=True),
         "split_degrees": f"""{_EDGES_CTE},
@@ -1489,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
             COS_VC=_cos_sql("embedding", "centroid"),
         ),
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_decoded": _MULTIMODAL_DECODED_SQL,
         "transcript_triples": _TRANSCRIPT_TRIPLES_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessionize": _EVENTS_SESSION_SQL,
