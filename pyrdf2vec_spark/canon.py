@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from pyrdf2vec_spark.session import hard_local_checkpoint
+
 
 def _shingle_col(col: str, n: int):
     """Normalized char n-gram shingle set — Catalyst-only (sequence +
@@ -219,11 +221,15 @@ def connected_components(
         .distinct()
         .persist()
     )
-    e = (
+    # hard checkpoints: each alternation derives new_e from e through
+    # a union + two agg-joins (~4x size-estimate compounding per round)
+    # — a plain localCheckpoint grows the carried sizeInBytes BigInt
+    # geometrically over the O(log n) rounds big graphs need (see
+    # hard_local_checkpoint's docstring)
+    e = hard_local_checkpoint(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sym(df: DataFrame) -> DataFrame:
@@ -245,13 +251,12 @@ def connected_components(
         # m = min(S ∪ {u}); emit (v, m) for v ∈ S ∪ {u} \ {m}.
         n1 = _sym(e1).where(F.col("v") < F.col("u"))
         mins1 = n1.groupBy("u").agg(F.min("v").alias("m"))
-        new_e = (
+        new_e = hard_local_checkpoint(
             n1.join(mins1, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins1.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_e.join(e, ["u", "v"], "left_anti")

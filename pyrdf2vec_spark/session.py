@@ -102,3 +102,47 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+def hard_local_checkpoint(df):
+    """``localCheckpoint(eager=True)`` that also DROPS the captured
+    plan statistics — the loop-state barrier every iterative DataFrame
+    algorithm here should use when a round references its own previous
+    state more than once.
+
+    Why: ``Dataset.localCheckpoint`` snapshots the source plan's
+    estimated ``sizeInBytes`` into the new ``LogicalRDD`` leaf
+    (originStats). Size estimation multiplies join children's sizes,
+    so a loop whose round-k plan joins the round-(k-1) checkpoint with
+    something derived from that same checkpoint squares (or worse) the
+    carried estimate every round: the ``BigInt``'s BIT-LENGTH grows
+    geometrically (measured: exactly 2.07x/round in the Louvain sweep
+    loop — 57 bits, 140, 307, ..., 10,624 after 8 rounds, millions by
+    round ~20) until optimizer stats arithmetic dominates wall clock
+    and finally wedges the driver in a months-long BigInt multiply.
+    Plan-node count stays constant throughout — only the NUMBER
+    inside the stats explodes, which is why explain() looks healthy.
+    One-reference loops (pagerank: contrib joins the old ranks once;
+    the dangling-mass branch collapses to a 1-row agg first) only grow
+    linearly (~125 bits/round) and are safe with a plain checkpoint.
+
+    Fix: materialize via localCheckpoint, then re-wrap the checkpointed
+    RDD[InternalRow] in a fresh stats-free leaf (falls back to the
+    plain checkpoint if the private JVM constructor ever disappears).
+    The stats-free leaf reports the session default size (Long.MaxValue)
+    so the STATIC planner won't broadcast it — with AQE on (our session
+    default) runtime-observed sizes still drive broadcast conversion,
+    which is the join strategy the loops want anyway.
+    """
+    from pyspark.sql import DataFrame
+
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = df.sparkSession
+        jfresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jfresh, spark)
+    except Exception:  # pragma: no cover - private-API fallback
+        return ck

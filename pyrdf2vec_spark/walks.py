@@ -25,6 +25,7 @@ from pyspark.sql.types import ArrayType, StringType
 from pyspark.storagelevel import StorageLevel
 
 from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.session import hard_local_checkpoint
 from pyrdf2vec_spark.samplers import edge_weights, normalize_hop_weights
 
 CHECKPOINT_EVERY = 4  # truncate join-loop lineage every k depths
@@ -1376,9 +1377,14 @@ def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
     id_map = kg.entity_names().select(
         nid("name").alias("id"), "name"
     ).persist()
-    labels = id_map.select(
-        "id", F.col("name").alias("community")
-    ).localCheckpoint(eager=True)
+    # hard checkpoints: the per-round plan references `labels` 3x
+    # (neighbor join, self-vote union, update join) — a plain
+    # localCheckpoint compounds the carried size estimate ~2x/round
+    # (see hard_local_checkpoint's docstring); harmless at the default
+    # 5 iterations, a driver-wedge by ~20
+    labels = hard_local_checkpoint(
+        id_map.select("id", F.col("name").alias("community"))
+    )
     for _ in range(iterations):
         neigh = und.join(
             labels.withColumnRenamed("id", "b"), "b"
@@ -1394,13 +1400,11 @@ def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
                 F.struct((-F.col("cnt")).alias("nc"), F.col("community")),
             ).alias("new_community")
         )
-        labels = (
-            labels.join(picked, "id", "left")
-            .select(
+        labels = hard_local_checkpoint(
+            labels.join(picked, "id", "left").select(
                 "id",
                 F.coalesce("new_community", "community").alias("community"),
             )
-            .localCheckpoint(eager=True)
         )
     out = id_map.join(labels, "id").select("name", "community")
     und.unpersist()
@@ -1409,7 +1413,8 @@ def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
 
 
 def louvain_labels(
-    kg: SparkKG, sweeps: int = 8, max_levels: int = 4
+    kg: SparkKG, sweeps: int = 8, max_levels: int = 4,
+    verbose: bool = False,
 ) -> DataFrame:
     """Distributed Louvain over the undirected entity graph — the
     fidelity-first alternative to :func:`community_labels` for the
@@ -1423,6 +1428,9 @@ def louvain_labels(
       half-sweep to one parity class breaks the two-node swap
       oscillation synchronous local moves are known for (the same
       device as distributed-Louvain / Gemini-style implementations);
+      sweeps stop early once both parity classes pass without a move
+      (the moved-count probe is a scan over the just-checkpointed
+      label partitions — no shuffle, no recompute);
       singleton init is what lets communities SPLIT-free grow —
       seeding from LPA cannot split a flooded partition because a
       lone defector never beats its own community's pull.
@@ -1452,21 +1460,36 @@ def louvain_labels(
         .where(F.col("a") != F.col("b"))
         .distinct()
         .withColumn("w", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
     )
+    # every loop-state barrier below is a hard_local_checkpoint: the
+    # sweep plan references the previous labels checkpoint 5x, so a
+    # plain localCheckpoint compounds the carried sizeInBytes estimate
+    # geometrically (bit-length 2.07x/sweep measured) until optimizer
+    # BigInt arithmetic wedges the driver — see session.py docstring
+    edges = hard_local_checkpoint(edges)
     id_map = kg.entity_names().select(nid("name").alias("id"), "name")
     mapping = None  # orig id -> current top-level community
     for _level in range(max_levels):
+        if verbose:
+            import time as _t
+
+            print(f"louvain level={_level} start t={_t.time():.1f}",
+                  flush=True)
         n_nodes = edges.select("a").distinct().count()
         m2 = edges.agg(F.sum("w")).first()[0] or 1
-        deg = edges.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed(
-            "a", "id"
-        ).localCheckpoint(eager=True)
-        labels = deg.select("id", F.col("id").alias("community")).localCheckpoint(
-            eager=True
+        deg = hard_local_checkpoint(
+            edges.groupBy("a")
+            .agg(F.sum("w").alias("k"))
+            .withColumnRenamed("a", "id")
+        )
+        labels = hard_local_checkpoint(
+            deg.select("id", F.col("id").alias("community"))
         )
         link = edges.where(F.col("a") != F.col("b"))  # self-loops ≠ links
+        settled = 0  # consecutive zero-move half-sweeps (one per parity)
         for sweep in range(sweeps):
+            if verbose:
+                t_sw = _t.time()
             lab_b = labels.withColumnRenamed("id", "b").withColumnRenamed(
                 "community", "_cb"
             )
@@ -1525,9 +1548,8 @@ def louvain_labels(
             )
             # parity gate: only one id-parity class moves per half-sweep
             eligible = F.pmod(F.col("id"), F.lit(2)) == F.lit(sweep % 2)
-            labels = (
-                labels.join(picked, "id", "left")
-                .select(
+            stepped = hard_local_checkpoint(
+                labels.join(picked, "id", "left").select(
                     "id",
                     F.when(
                         eligible & F.col("new_community").isNotNull(),
@@ -1535,11 +1557,50 @@ def louvain_labels(
                     )
                     .otherwise(F.col("community"))
                     .alias("community"),
+                    (
+                        eligible
+                        & F.col("new_community").isNotNull()
+                        & (F.col("new_community") != F.col("community"))
+                    ).alias("_moved"),
                 )
-                .localCheckpoint(eager=True)
             )
+            # convergence exit: once BOTH parity classes pass without a
+            # move, further sweeps are no-ops — the moved count is a
+            # scan over the just-checkpointed partitions (no shuffle),
+            # and it is what keeps the sweep budget from being paid in
+            # full on already-converged levels
+            t_ck = _t.time() if verbose else 0
+            moved = stepped.where("_moved").count()
+            labels = stepped.select("id", "community")
+            if verbose:
+                nplan = len(
+                    stepped._jdf.queryExecution()
+                    .analyzed()
+                    .numberedTreeString()
+                    .splitlines()
+                )
+                print(
+                    f"louvain level={_level} sweep={sweep} moved={moved} "
+                    f"ckpt={t_ck - t_sw:.2f}s cnt={_t.time() - t_ck:.2f}s "
+                    f"plan={nplan}",
+                    flush=True,
+                )
+            if moved == 0:
+                settled += 1
+                if settled >= 2:
+                    break
+            else:
+                settled = 0
+        if verbose:
+            import time as _t
+
+            print(f"louvain level={_level} sweeps-done t={_t.time():.1f}",
+                  flush=True)
         n_comms = labels.select("community").distinct().count()
-        mapping = (
+        if verbose:
+            print(f"louvain level={_level} n_comms={n_comms} "
+                  f"t={_t.time():.1f}", flush=True)
+        mapping = hard_local_checkpoint(
             labels
             if mapping is None
             else mapping.join(
@@ -1548,7 +1609,10 @@ def louvain_labels(
                 ),
                 mapping["community"] == F.col("_sup"),
             ).select("id", F.col("_next").alias("community"))
-        ).localCheckpoint(eager=True)
+        )
+        if verbose:
+            print(f"louvain level={_level} mapping-ckpt t={_t.time():.1f}",
+                  flush=True)
         if n_comms == n_nodes or _level == max_levels - 1:
             break
         # aggregate: communities become super-nodes; intra-community
@@ -1559,13 +1623,15 @@ def louvain_labels(
         lb = labels.withColumnRenamed("id", "b").withColumnRenamed(
             "community", "_cb"
         )
-        edges = (
+        edges = hard_local_checkpoint(
             edges.join(la, "a")
             .join(lb, "b")
             .groupBy(F.col("_ca").alias("a"), F.col("_cb").alias("b"))
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
         )
+        if verbose:
+            print(f"louvain level={_level} edges-agg t={_t.time():.1f}",
+                  flush=True)
     out = id_map.join(mapping, "id", "left").select(
         "name", F.coalesce("community", "id").alias("community")
     )

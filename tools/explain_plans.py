@@ -26,11 +26,22 @@ from pyrdf2vec_spark.walks import bfs_canonical_walks
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def plan(df) -> str:
+def plan(df, max_lines: int | None = None) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    text = buf.getvalue()
+    if max_lines is not None:
+        lines = text.splitlines()
+        if len(lines) > max_lines:
+            # deep loop plans re-print every cached InMemoryRelation's
+            # full sub-plan; the properties the heading asks for are all
+            # in the operator tree head, so cap the dump
+            text = "\n".join(lines[:max_lines]) + (
+                f"\n... [{len(lines) - max_lines} more lines elided — "
+                "nested InMemoryRelation re-prints]\n"
+            )
+    return text
 
 
 def main():
@@ -90,6 +101,27 @@ def main():
         "embedding near-dup, IVF-cell blocked "
         "(expect equi-join on centroid_id; no CartesianProduct)",
         plan(embedding_neardup_pairs(emb, threshold=0.5)),
+    ))
+
+    # 8. encoded-corpus layout (bench q8): dictionary-encoded BFS walks
+    # + vocab off the per-KG indexed name table. Expect: the dense-index
+    # offsets joined via BroadcastHashJoin (a partition-count-sized
+    # table), frontier joins broadcast at this edge count, and NO
+    # vocab-wide union+distinct stage (the round-3 shape) anywhere.
+    from pyrdf2vec_spark.walks import bfs_encoded_walks
+
+    enc_walks, enc_vocab = bfs_encoded_walks(kg, seeds, 2, md5_bytes=8)
+    sections.append((
+        "encoded BFS walks, q8 corpus layout "
+        "(expect broadcast of dense-index offsets; no union+distinct "
+        "vocab stage)",
+        plan(enc_walks, max_lines=400),
+    ))
+    sections.append((
+        "encoded-corpus vocab table "
+        "(expect union of the indexed name table's three id roles — "
+        "md5 / verbatim-seed / predicate-tail — no global sort)",
+        plan(enc_vocab, max_lines=400),
     ))
 
     out = ["# Physical plans — headline operators\n"]

@@ -10,7 +10,6 @@ Usage: python tools/measure_louvain.py
 from __future__ import annotations
 
 import json
-import random
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -20,27 +19,13 @@ from pyrdf2vec_spark.session import get_spark
 from pyrdf2vec_spark.walks import community_labels, louvain_labels
 
 sys.path.insert(0, "/root/repo/tests")
-from test_community_quality import _louvain, _modularity, _undirected
+from test_community_quality import (
+    _louvain,
+    _modularity,
+    _undirected,
+    noisy_planted,
+)
 from conftest import uri
-
-
-def noisy_planted(n_comms: int, size: int, p_in: float, p_out: float, seed: int):
-    rng = random.Random(seed)
-    nodes = [(c, i) for c in range(n_comms) for i in range(size)]
-    edges = []
-    for a in range(len(nodes)):
-        for b in range(a + 1, len(nodes)):
-            (ca, ia), (cb, ib) = nodes[a], nodes[b]
-            p = p_in if ca == cb else p_out
-            if rng.random() < p:
-                edges.append((f"n{ca}_{ia}", f"n{cb}_{ib}"))
-    # ring per community for connectivity
-    for c in range(n_comms):
-        for i in range(size):
-            e = (f"n{c}_{i}", f"n{c}_{(i + 1) % size}")
-            if e not in edges:
-                edges.append(e)
-    return edges
 
 
 def spark_partition(spark, edges, fn, **kw):
