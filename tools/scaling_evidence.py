@@ -1,16 +1,15 @@
 """Generate BENCH/BASELINE.md — the two-cluster-size scaling evidence —
-from a JSONL of tools/scaling_job.py runs (BENCH/scalruns.jsonl).
+from the JSONLs of tools/scaling_job.py runs.
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. Sandbox proxy per the driver instruction: the same job on
-the same input at taskset-pinned local[2] vs local[8]. This round adds
-the DECOMPOSITION LADDER the round-2 verdict asked for: sink=count
-(BFS joins only), sink=hash (+ token materialization), sink=write
-(+ parquet encode + write), plus an input-size sweep that separates
-fixed driver-side costs from the scaling of the distributed plan.
+the same input at taskset-pinned local[2] vs local[8]. Round 4 keeps
+round 3's decomposition ladder + input-size sweep (historical, old
+walk-prep path) and adds the round-4 A/B: the per-KG indexed-name
+table (one id source, no per-run union+distinct over 2|V| tokens)
+against the round-3 path, at two core counts and two input sizes.
 
-Usage: python tools/scaling_evidence.py [runs.jsonl] [--skip N]
-  --skip N drops the first N lines (runs from older code versions).
+Usage: python tools/scaling_evidence.py [r3.jsonl [r4.jsonl]]
 """
 
 from __future__ import annotations
@@ -23,23 +22,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CEILING = 0.87  # same-box calibration: sha2-over-80M-rows job, warm, 2->8 pinned
 
 
-def load(path: str, skip: int):
+def load(path: str):
     runs = []
     with open(path) as f:
-        for i, line in enumerate(f):
+        for line in f:
             line = line.strip()
-            if line and i >= skip:
-                runs.append(json.loads(line))
+            if not line or not line.startswith("{"):
+                continue
+            r = json.loads(line)
+            if "error" not in r:
+                runs.append(r)
     return runs
 
 
-def best(runs, cpus, sink, n_turns, key="wall_sec"):
+def best(runs, cpus, n_turns, sink="count", tags=None, key="wall_sec"):
     sel = [
         r
         for r in runs
         if r["cpus"] == str(cpus)
         and r.get("sink", "write") == sink
         and r["n_turns"] == n_turns
+        and (tags is None or any(r.get("tag", "").startswith(t) for t in tags))
     ]
     if not sel:
         return None
@@ -54,41 +57,26 @@ def eff(lo, hi, field, factor=4.0):
     return round(lo[field] / hi[field] / factor, 2)
 
 
+NEW = ("r4a", "r4b", "r4s")  # indexed-name walk-prep path (round 4)
+OLD3 = ("base",)  # round-3 walk-prep path re-run in the round-4 window
+
+
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    r3_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "BENCH", "scalruns.jsonl"
     )
-    skip = 0
-    if "--skip" in sys.argv:
-        skip = int(sys.argv[sys.argv.index("--skip") + 1])
-    runs = load(path, skip)
+    r4_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "BENCH", "scalruns_r4.jsonl"
+    )
+    r3 = load(r3_path)
+    r4 = load(r4_path)
 
-    sizes = sorted({r["n_turns"] for r in runs})
-    sinks = ["count", "hash", "write"]
-
-    # headline = write sink at the standard 4.8M-turn input
     HN = 4_800_000
-    lo_w = best(runs, 2, "write", HN)
-    hi_w = best(runs, 8, "write", HN)
-
-    ladder_rows = []
-    for sink in sinks:
-        lo = best(runs, 2, sink, HN)
-        hi = best(runs, 8, sink, HN)
-        if lo and hi:
-            ladder_rows.append((sink, lo, hi))
-
-    trend_rows = []
-    for n in sizes:
-        for sink in sinks:
-            lo = best(runs, 2, sink, n)
-            hi = best(runs, 8, sink, n)
-            if lo and hi:
-                trend_rows.append((sink, n, lo, hi))
+    SN = 2_400_000
 
     out = []
     w = out.append
-    w("# BENCH / BASELINE — scaling evidence (round 3)\n")
+    w("# BENCH / BASELINE — scaling evidence (round 4)\n")
     w(
         "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N\n"
         "to 4N executors. No multi-node cluster exists in this sandbox, so\n"
@@ -98,24 +86,28 @@ def main():
         "reps sampled across the session (the box is a shared VM; ambient\n"
         "load inflates walls 1.3-2×; the extract stage doubles as a noise\n"
         "canary — quiet ≈ 21 s at 8 cores / ≈ 80 s at 2). Regenerate with\n"
-        "`python tools/scaling_evidence.py BENCH/scalruns.jsonl`.\n"
+        "`python tools/scaling_evidence.py`.\n"
     )
     w(
         "Job: tools/scaling_job.py — synth transcript turns → vectorized\n"
         "Arrow extraction → triples → KG build → fused BFS depth-2 +\n"
-        "dictionary-encoded canonicalization (dense int ids, zstd parquet).\n"
-        "The `sink` selects what the walk stage pays for:\n\n"
-        "- `count`  — BFS frontier joins only (Catalyst prunes the arrays)\n"
-        "- `hash`   — + full token materialization "
-        "(`bit_xor(xxhash64(walk))`)\n"
-        "- `write`  — + parquet encode + the one-box write path\n"
+        "dictionary-encoded canonicalization (dense int ids). Round-4 runs\n"
+        "use the count sink (BFS joins + encoding only) — round 3 proved\n"
+        "the count/hash/write ladder FLAT, so the sink choice does not\n"
+        "change the efficiency story (table below).\n"
     )
 
-    if lo_w and hi_w:
-        w("## Headline (write sink, 4.8M turns)\n")
+    # ---- round-4 headline: current walk-prep path, 4.8M turns, count sink
+    lo = best(r4, 2, HN, tags=NEW)
+    hi = best(r4, 8, HN, tags=NEW)
+    # extraction is identical code in every round-4 run — pool all tags
+    lo_x = best(r4, 2, HN, tags=None, key="extract_sec")
+    hi_x = best(r4, 8, HN, tags=None, key="extract_sec")
+    if lo and hi:
+        w("## Round-4 headline (count sink, 4.8M turns, current HEAD)\n")
         w("| config | extract (s) | walks (s) | total (s) | turns/s | walks/s |")
         w("|---|---|---|---|---|---|")
-        for label, r in (("local[2] (N)", lo_w), ("local[8] (4N)", hi_w)):
+        for label, r in (("local[2] (N)", lo), ("local[8] (4N)", hi)):
             w(
                 f"| {label} | {r['extract_sec']} | {r['walks_sec']} "
                 f"| {r['wall_sec']} | {r['turns_per_sec']:,.0f} "
@@ -123,46 +115,96 @@ def main():
             )
         w("")
         w(
-            f"**Overall efficiency (min-wall): "
-            f"{eff(lo_w, hi_w, 'wall_sec')}** — extraction "
-            f"{eff(lo_w, hi_w, 'extract_sec')}, walk stage "
-            f"{eff(lo_w, hi_w, 'walks_sec')}. Rep walls: "
-            f"local[2] = {lo_w['all_wall']}, local[8] = {hi_w['all_wall']}.\n"
+            f"**Efficiency (min-wall): total {eff(lo, hi, 'wall_sec')} — "
+            f"extraction {round(lo_x['extract_sec'] / hi_x['extract_sec'] / 4, 2)} "
+            f"(pooled best: {hi_x['extract_sec']} s / {lo_x['extract_sec']} s), "
+            f"walk stage {eff(lo, hi, 'walks_sec')}.** Rep walls: "
+            f"local[2] = {lo['all_wall']}, local[8] = {hi['all_wall']}.\n"
         )
 
-    w("## Decomposition ladder (4.8M turns, min per config)\n")
-    w("| sink | walks lo/hi (s) | eff extract | eff walks | eff total | reps |")
-    w("|---|---|---|---|---|---|")
-    for sink, lo, hi in ladder_rows:
-        w(
-            f"| {sink} | {lo['walks_sec']} / {hi['walks_sec']} "
-            f"| {eff(lo, hi, 'extract_sec')} | {eff(lo, hi, 'walks_sec')} "
-            f"| {eff(lo, hi, 'wall_sec')} | {lo['n_reps']}/{hi['n_reps']} |"
-        )
-    w("")
+    # ---- A/B: round-3 walk-prep path vs indexed-name path, same window
+    w("## Walk-prep A/B — round-3 path vs per-KG indexed-name table\n")
     w(
-        "Reading the ladder: walk-stage efficiency is nearly FLAT across\n"
-        "count → hash → write. The round-2 hypothesis — \"the plan scales,\n"
-        "only the one-box write path doesn't\" — is REFUTED: removing the\n"
-        "write (and even the array materialization) does not recover the\n"
-        "missing efficiency. The gap lives in the join/prep core, and the\n"
-        "size sweep below shows it is a FIXED cost, not a scaling defect.\n"
+        "Same binary week, same box, same input (4.8M turns, count sink);\n"
+        "`base*` tags re-ran the round-3 prep (per-run union+distinct over\n"
+        "2|V| tokens + separate dense-id pass), `r4*` the round-4 prep\n"
+        "(ONE indexed name table per KG, ids reused across walker runs).\n"
     )
+    w("| path | cores | best walks (s) | walks/s | reps |")
+    w("|---|---|---|---|---|")
+    for label, tags in (("round-3 prep", OLD3), ("indexed names", NEW)):
+        for cpus in (2, 8):
+            b = best(r4, cpus, HN, tags=tags)
+            if b:
+                w(
+                    f"| {label} | {cpus} | {b['walks_sec']} "
+                    f"| {b['walks_per_sec']:,.0f} | {b['n_reps']} |"
+                )
+    w("")
+    b2o, b2n = best(r4, 2, HN, tags=OLD3), best(r4, 2, HN, tags=NEW)
+    b8o, b8n = best(r4, 8, HN, tags=OLD3), best(r4, 8, HN, tags=NEW)
+    if all((b2o, b2n, b8o, b8n)):
+        g2 = b2n["walks_per_sec"] / b2o["walks_per_sec"] - 1
+        g8 = b8n["walks_per_sec"] / b8o["walks_per_sec"] - 1
+        w(
+            f"The fixed-prep cut lands asymmetrically: 2-core throughput\n"
+            f"+{g2:.0%}, 8-core +{g8:.0%}. That asymmetry is the bus cap\n"
+            f"(analysis below), and it DROPS the one-box 2c→8c ratio even\n"
+            f"though both configs got faster — the expected signature of\n"
+            f"an instrument at its ceiling, not a plan regression.\n"
+        )
 
-    w("## Input-size sweep — fixed costs vs the shared-bus ceiling\n")
-    w(
-        "| sink | turns | walks lo/hi (s) | walks/s lo/hi | eff walks "
-        "| eff total |"
-    )
-    w("|---|---|---|---|---|---|")
-    for sink, n, lo, hi in trend_rows:
-        w(
-            f"| {sink} | {n:,} | {lo['walks_sec']} / {hi['walks_sec']} "
-            f"| {lo['walks_per_sec'] / 1e6:.2f}M / "
-            f"{hi['walks_per_sec'] / 1e6:.2f}M "
-            f"| {eff(lo, hi, 'walks_sec')} | {eff(lo, hi, 'wall_sec')} |"
-        )
+    # ---- size pair: 2.4M vs 4.8M on the new path
+    w("## Input-size effect on the new path (count sink)\n")
+    w("| turns | walks lo/hi (s) | walks/s lo/hi | eff walks | eff total |")
+    w("|---|---|---|---|---|")
+    for n in (SN, HN):
+        lo_n = best(r4, 2, n, tags=NEW)
+        hi_n = best(r4, 8, n, tags=NEW)
+        if lo_n and hi_n:
+            w(
+                f"| {n:,} | {lo_n['walks_sec']} / {hi_n['walks_sec']} "
+                f"| {lo_n['walks_per_sec'] / 1e6:.2f}M / "
+                f"{hi_n['walks_per_sec'] / 1e6:.2f}M "
+                f"| {eff(lo_n, hi_n, 'walks_sec')} "
+                f"| {eff(lo_n, hi_n, 'wall_sec')} |"
+            )
     w("")
+
+    # ---- round-3 historical ladder + sweep (old path)
+    w("## Round-3 decomposition ladder (historical, old prep path)\n")
+    w(
+        "Why the round-4 runs use the count sink: round 3 measured the\n"
+        "count/hash/write ladder FLAT — the missing efficiency is not the\n"
+        "write path. Kept here as the justification:\n"
+    )
+    w("| sink | walks lo/hi (s) | eff extract | eff walks | eff total |")
+    w("|---|---|---|---|---|")
+    for sink in ("count", "hash", "write"):
+        lo3 = best(r3, 2, HN, sink=sink)
+        hi3 = best(r3, 8, HN, sink=sink)
+        if lo3 and hi3:
+            w(
+                f"| {sink} | {lo3['walks_sec']} / {hi3['walks_sec']} "
+                f"| {eff(lo3, hi3, 'extract_sec')} "
+                f"| {eff(lo3, hi3, 'walks_sec')} "
+                f"| {eff(lo3, hi3, 'wall_sec')} |"
+            )
+    w("")
+    w("Round-3 input-size sweep (old path, count sink):\n")
+    w("| turns | walks/s lo/hi | eff walks |")
+    w("|---|---|---|")
+    for n in sorted({r["n_turns"] for r in r3}):
+        lo3 = best(r3, 2, n, sink="count")
+        hi3 = best(r3, 8, n, sink="count")
+        if lo3 and hi3:
+            w(
+                f"| {n:,} | {lo3['walks_per_sec'] / 1e6:.2f}M / "
+                f"{hi3['walks_per_sec'] / 1e6:.2f}M "
+                f"| {eff(lo3, hi3, 'walks_sec')} |"
+            )
+    w("")
+
     w(
         "## Analysis\n\n"
         "- **Same-box calibration ceiling: "
@@ -171,46 +213,38 @@ def main():
         "  2→8 cores — no job of any shape exhibits >0.87 here. Read the\n"
         "  efficiency numbers against that ceiling, not against 1.0.\n"
         "- **Extraction** (the north-rule turns/sec metric) is partition-\n"
-        "  local Arrow work with zero shuffle: 0.89-0.97 across quiet\n"
-        "  windows — at the ceiling, i.e. parity. This is the stage whose\n"
-        "  behavior transfers directly to a multi-executor cluster.\n"
-        "- **Walk stage, two opposing size trends.** (a) ~6 s of size-\n"
-        "  and-core-count-independent fixed cost — Amdahl fit over pinned\n"
-        "  2/4/8-core count-sink points; components measured directly:\n"
-        "  AQE replanning (~3 s at 8c, shown by an AQE-off pair that\n"
-        "  still scaled at 0.68 — so AQE is NOT the gap) and the\n"
-        "  vocab-prep sub-stage (5-8 shuffles over the ~4M-row vocab,\n"
-        "  SCALE_PHASES=1). Amortization of this fixed cost RAISES\n"
-        "  2-core per-core throughput as input grows (1.24→1.36→1.55M\n"
-        "  walks/s in the sweep). (b) The 8-core side is capped at\n"
-        "  ~3.4-3.9M walks/s at EVERY input size — all 8 cores share one\n"
-        "  memory bus and one tmpfs, and the BFS join's sort+shuffle\n"
-        "  traffic saturates it. Trend (a) lifts the 2c/8c ratio with\n"
-        "  size (0.67→0.72 at 2×); trend (b) pulls it back at 4× (0.55)\n"
-        "  as the 8-core cap binds while 2 cores keep improving. Neither\n"
-        "  trend is a property of the PLAN: a real 4N-executor cluster\n"
-        "  multiplies memory bandwidth and disks WITH the cores — the\n"
-        "  exact resource this one-box proxy holds fixed — and its\n"
-        "  production inputs amortize the fixed driver cost to noise.\n"
-        "- **The ladder refutes the round-2 write-path hypothesis\n"
-        "  honestly**: count/hash/write efficiencies are within 0.03 of\n"
-        "  each other, so the missing efficiency is NOT parquet encode\n"
-        "  or the write — it is the shared-bus join core plus fixed\n"
-        "  prep, decomposed above.\n"
-        "- **Round-3 prep-cost reductions** (plan-side): \n"
-        "  `SparkKG.entity_names()` is computed once and cached (was\n"
-        "  2-3× per walker run), and `dense_token_ids` assigns ids via\n"
-        "  monotonically_increasing_id arithmetic — zero-shuffle\n"
-        "  zipWithIndex — replacing a vocab-wide re-shuffle + sort under\n"
-        "  a Window. A/B (same window, old vs new code, 8c+2c) showed\n"
-        "  the deltas are within ambient noise on this box; the wins are\n"
-        "  structural (two fewer vocab-sized shuffles per run).\n"
+        "  local Arrow work with zero shuffle: ~0.9 in the round-4 window\n"
+        "  (and 0.89-0.97 across round 3) — at the ceiling, i.e. parity.\n"
+        "  This is the stage whose behavior transfers directly to a\n"
+        "  multi-executor cluster.\n"
+        "- **Walk stage: the round-4 prep cut worked, and the one-box\n"
+        "  ratio fell anyway — both are real.** Round 3 isolated ~6 s of\n"
+        "  size-independent prep cost (vocab shuffles) plus an 8-core\n"
+        "  walks/s cap of ~3.4-3.9M at every input size (shared memory\n"
+        "  bus). Round 4 removed the per-run vocab union+distinct (ONE\n"
+        "  indexed name table per KG). In the CONTROLLED same-window A/B\n"
+        "  (old and new prep interleaved in one batch): 2-core throughput\n"
+        "  +33% (0.95M → 1.25M walks/s) — the fixed cost was a much\n"
+        "  larger fraction of the 2-core wall — while the 8-core side\n"
+        "  moved +12% (2.68M → 2.99M), pinned against the bus cap.\n"
+        "  (Cross-round absolute comparisons are load-confounded: round\n"
+        "  3's quietest windows reached 1.24M/3.31M on the OLD path —\n"
+        "  every round-4 rep ran under a 1.3-1.6× canary; only the\n"
+        "  interleaved A/B is controlled.) The 2c→8c ratio DROPS\n"
+        "  (0.67 → ~0.6) as the code gets faster: the numerator is\n"
+        "  resource-capped, the denominator isn't. On a real\n"
+        "  4N-executor cluster the resource the proxy\n"
+        "  holds fixed (memory bandwidth, disks) multiplies with the\n"
+        "  cores; the plan itself — partition-local extraction,\n"
+        "  key-partitioned BFS joins, banded dedup, zero driver loops —\n"
+        "  has no stage that serializes on N.\n"
+        "- **The ladder refutes the write-path hypothesis** (round 3,\n"
+        "  kept above): count/hash/write efficiencies within 0.03.\n"
         "- **Measurement hygiene**: every run is taskset-pinned; the\n"
         "  extract stage is the noise canary (quiet ≈ 21 s at 8c / 80 s\n"
         "  at 2c; ambient load on this shared VM inflates 1.3-2×);\n"
         "  minimum wall over reps sampled across the session; stuck\n"
-        "  py4j gateways (~1/30 runs) killed and rerun; one 142.9 s\n"
-        "  8-core outlier (next rep: 50.6 s) retained in the JSONL.\n\n"
+        "  py4j gateways (~1/30 runs) killed and rerun.\n\n"
         "## Design choices that hold at 1000 executors / 100 TB\n\n"
         "- one deduplicated edge table, persisted; inverse adjacency =\n"
         "  join on dst (no second copy)\n"
@@ -218,11 +252,15 @@ def main():
         "  threshold, sort-merge + AQE skew-join above; lineage\n"
         "  checkpoint every 4 depths\n"
         "- canonicalization cost is O(|V|), not O(corpus); the corpus is\n"
-        "  dictionary-encoded (dense int ids + one vocab table)\n"
+        "  dictionary-encoded (dense int ids + one per-KG vocab table,\n"
+        "  recompute-deterministic id assignment)\n"
         "- extraction/generation are partition-local (zero shuffle)\n"
         "  Arrow batches; turns/sec scales with executors\n"
         "- MinHash-LSH band-bucket joins with bucket caps; CC via\n"
-        "  alternating large/small-star, eagerly checkpointed\n"
+        "  alternating large/small-star with STATS-FREE checkpoints\n"
+        "  (hard_local_checkpoint — multi-reference loop states compound\n"
+        "  carried sizeInBytes estimates geometrically otherwise; the\n"
+        "  round-4 driver-wedge fix, see SURVEY §4)\n"
         "- PageRank: dangling mass in-plan, zero per-iteration collects\n"
         "- Word2Vec: driver vocab bound enforced up front\n"
         "  (min_count / max_vocab_size pruning + loud failure)\n"
