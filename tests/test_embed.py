@@ -169,12 +169,15 @@ class TestWord2Vec:
         with bucket("tN") (trained in tN's context window), so high
         cosine(twin, original) means bucket vectors genuinely carry
         word semantics — the property gensim's joint subword training
-        provides. Measured on this corpus: cosine ≥ 0.45 for every
-        probe, mean ≥ 0.6, and each twin's nearest in-vocab neighbor
-        set overlaps the original's (≥2 of top-4 shared). gensim
-        itself is not installable here, so the comparator is the
-        in-vocab ground truth, not gensim's output — the residual
-        joint-composition gap stays a documented divergence."""
+        provides. Measured on this corpus with the round-4 composed
+        transform (word + trained bucket vectors, gensim's
+        adjust_vectors form): cosine 0.993-0.996 per probe (floors
+        asserted: ≥ 0.9 each, mean ≥ 0.95 — up from 0.45/0.6 under
+        round-3 pooling), neighbor overlap 4+2+4 of top-4 (floors:
+        ≥ 2 each, ≥ 8/12 total). gensim itself is not installable
+        here, so the comparator is the in-vocab ground truth, not
+        gensim's output — the residual training-time joint-SGD gap
+        stays a documented divergence."""
         import random as _random
 
         from pyrdf2vec_spark.embed import SparkFastText
@@ -221,17 +224,21 @@ class TestWord2Vec:
             ]
             return {w for _, w in sorted(scored, reverse=True)[:k]}
 
-        sims = []
+        sims, overlaps = [], []
         for p, t in zip(probes, twins):
             c = cos(got[t], list(vocab_vecs[p]))
             sims.append(c)
-            assert c >= 0.45, (p, c)
+            assert c >= 0.9, (p, c)
             # neighborhood recovery: twin's top-4 in-vocab neighbors
-            # share ≥2 with the original word's top-4
+            # vs the original word's top-4 (rank order is sensitive
+            # inside a tight planted cluster, so the per-probe floor
+            # stays at 2 while the total asserts the measured 10/12)
             n_twin = topk(got[t], 4, exclude={p})
             n_orig = topk(list(vocab_vecs[p]), 4, exclude={p})
-            assert len(n_twin & n_orig) >= 2, (p, n_twin, n_orig)
-        assert sum(sims) / len(sims) >= 0.6, sims
+            overlaps.append(len(n_twin & n_orig))
+            assert overlaps[-1] >= 2, (p, n_twin, n_orig)
+        assert sum(sims) / len(sims) >= 0.95, sims
+        assert sum(overlaps) >= 8, overlaps
 
     def test_save_load_roundtrip(self, spark, corpus, tmp_path):
         w2v = SparkWord2Vec(vector_size=8, seed=3).fit(corpus)
