@@ -1638,6 +1638,22 @@ def louvain_labels(
     return out
 
 
+def _community_partition(
+    kg: SparkKG, algorithm: str, lpa_iterations: int
+) -> DataFrame:
+    """(name, community) via the configured algorithm: ``lpa`` (fast
+    deterministic default, oracle-pinned) or ``louvain`` (the
+    reference's algorithm — community.py:110-128 — as distributed
+    modularity-optimizing sweeps; see :func:`louvain_labels`)."""
+    if algorithm == "lpa":
+        return community_labels(kg, lpa_iterations)
+    if algorithm == "louvain":
+        return louvain_labels(kg)
+    raise ValueError(
+        f"unknown community algorithm {algorithm!r}; use 'lpa' or 'louvain'"
+    )
+
+
 def community_walks(
     kg: SparkKG,
     entities: DataFrame,
@@ -1646,6 +1662,7 @@ def community_walks(
     seed: int = 42,
     is_reverse: bool = False,
     lpa_iterations: int = 5,
+    algorithm: str = "lpa",
 ) -> DataFrame:
     """CommunityWalker._bfs (community.py:140-185): exhaustive BFS where
     each (pred, obj) extension ALSO, with probability ``hop_prob``,
@@ -1653,10 +1670,14 @@ def community_walks(
     community — a single appended vertex, intentionally breaking the
     pred/entity alternation exactly as the reference does.
 
+    ``algorithm="louvain"`` swaps the LPA stand-in for the reference's
+    own community algorithm (distributed Louvain); the default stays
+    LPA for speed and oracle determinism.
+
     Distribution-equivalent (deterministic hash randomness); exact RNG
     streams are impossible to replicate (SURVEY.md §5.4).
     """
-    comm = community_labels(kg, lpa_iterations).persist()
+    comm = _community_partition(kg, algorithm, lpa_iterations).persist()
     members = comm.select(
         "community", F.col("name").alias("member")
     ).persist()
@@ -1740,11 +1761,15 @@ def community_sampled_walks(
     seed: int = 42,
     is_reverse: bool = False,
     lpa_iterations: int = 5,
+    algorithm: str = "lpa",
 ) -> DataFrame:
     """CommunityWalker._dfs (community.py:187-250): sampled walks where
     each drawn hop (pred, obj), with probability ``hop_prob``, REPLACES
     obj by a uniformly-drawn member of obj's community — alternation
     preserved, unlike the BFS variant's appended teleport vertex.
+
+    ``algorithm="louvain"`` swaps the LPA stand-in for the reference's
+    own community algorithm (see :func:`community_walks`).
 
     Distribution-equivalent (deterministic hash randomness, same
     documented divergence as community_walks); hop draw = the
@@ -1754,7 +1779,7 @@ def community_sampled_walks(
     """
     from pyrdf2vec_spark.samplers import edge_weights
 
-    comm = community_labels(kg, lpa_iterations).persist()
+    comm = _community_partition(kg, algorithm, lpa_iterations).persist()
     members = comm.select(
         "community", F.col("name").alias("member")
     ).persist()

@@ -484,6 +484,26 @@ class TestCommunity:
         b = walks_set(community_walks(kg_loop, roots, 2, hop_prob=0.5, seed=3))
         assert a == b
 
+    def test_louvain_algorithm_tier(self, kg_loop, roots):
+        # algorithm="louvain" swaps in the reference's own community
+        # algorithm; hop_prob=0 must still degenerate to plain BFS,
+        # and unknown algorithms fail loudly
+        import pytest as _pytest
+
+        from pyrdf2vec_spark.walks import community_walks
+
+        plain = walks_set(bfs_walks(kg_loop, roots, 2))
+        got = walks_set(
+            community_walks(
+                kg_loop, roots, 2, hop_prob=0.0, algorithm="louvain"
+            )
+        )
+        assert got == plain
+        with _pytest.raises(ValueError, match="louvain"):
+            community_walks(
+                kg_loop, roots, 2, algorithm="nope"
+            ).collect()
+
     def test_sampled_no_teleport_equals_sampled(self, kg_loop, roots):
         # community.py:187-250 with hop_prob=0 degenerates to plain
         # sampled DFS draws — same race keys, same picks
