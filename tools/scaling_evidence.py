@@ -57,7 +57,7 @@ def eff(lo, hi, field, factor=4.0):
     return round(lo[field] / hi[field] / factor, 2)
 
 
-NEW = ("r4a", "r4b", "r4s")  # indexed-name walk-prep path (round 4)
+NEW = ("r4a", "r4b", "r4s", "r4L")  # indexed-name walk-prep path (round 4)
 OLD3 = ("base",)  # round-3 walk-prep path re-run in the round-4 window
 
 
@@ -72,7 +72,6 @@ def main():
     r4 = load(r4_path)
 
     HN = 4_800_000
-    SN = 2_400_000
 
     out = []
     w = out.append
@@ -158,7 +157,14 @@ def main():
     w("## Input-size effect on the new path (count sink)\n")
     w("| turns | walks lo/hi (s) | walks/s lo/hi | eff walks | eff total |")
     w("|---|---|---|---|---|")
-    for n in (SN, HN):
+    new_sizes = sorted(
+        {
+            r["n_turns"]
+            for r in r4
+            if any(r.get("tag", "").startswith(t) for t in NEW)
+        }
+    )
+    for n in new_sizes:
         lo_n = best(r4, 2, n, tags=NEW)
         hi_n = best(r4, 8, n, tags=NEW)
         if lo_n and hi_n:
@@ -232,7 +238,13 @@ def main():
         "  every round-4 rep ran under a 1.3-1.6× canary; only the\n"
         "  interleaved A/B is controlled.) The 2c→8c ratio DROPS\n"
         "  (0.67 → ~0.6) as the code gets faster: the numerator is\n"
-        "  resource-capped, the denominator isn't. On a real\n"
+        "  resource-capped, the denominator isn't. The new-path size\n"
+        "  sweep (2.4M → 19.2M turns) confirms both halves: 8-core\n"
+        "  walks/s climbs 2.13M → 2.99M → 3.65M, converging on the\n"
+        "  round-3 bus cap (3.4-3.9M) as fixed costs amortize, while\n"
+        "  the efficiency curve FLATTENS (~0.6 at every size — the old\n"
+        "  path's non-monotone 0.67/0.72/0.55 was the fixed cost and\n"
+        "  the cap trading places as the binding constraint). On a real\n"
         "  4N-executor cluster the resource the proxy\n"
         "  holds fixed (memory bandwidth, disks) multiplies with the\n"
         "  cores; the plan itself — partition-local extraction,\n"
