@@ -1041,13 +1041,17 @@ def ngram_walks(
             f"i + 1 - greatest(1, i - {grams - 1} + 1) + 1), char(1))"
         ),
     )
-    ids = (
-        relabel.select("ngram_key")
-        .distinct()
-        .withColumn(
-            "gram_id",
-            (F.dense_rank().over(Window.orderBy("ngram_key")) - 1).cast("string"),
-        )
+    # gram ids are lexicographic ranks of the distinct ngram keys —
+    # computed as a RANGE-partitioned sort + per-partition offsets
+    # (the zipWithIndex pattern) instead of dense_rank over an
+    # unpartitioned Window, which would drag the whole corpus-sized
+    # key vocabulary onto ONE partition at scale. Range partition ids
+    # ascend with the sort order, so cumulative offsets reproduce the
+    # global lexicographic rank exactly (oracle-hash-identical).
+    distinct_keys = relabel.select("ngram_key").distinct().orderBy("ngram_key")
+    indexed, _ = _zip_dense_index(distinct_keys, "ngram_key")
+    ids = indexed.select(
+        "ngram_key", F.col("_idx").cast("string").alias("gram_id")
     )
     relabeled = relabel.join(ids, "ngram_key").select(
         "wid", "i", F.col("gram_id").alias("v_new")
