@@ -16,8 +16,12 @@ from pyrdf2vec_spark.walks import (
     bfs_canonical_walks,
     bfs_encoded_walks,
     bfs_walks,
+    community_labels,
+    community_sampled_walks,
+    community_walks,
     dfs_canonical_walks,
     extract_walks,
+    louvain_labels,
     sampled_walks,
 )
 
@@ -35,6 +39,10 @@ __all__ = [
     "bfs_canonical_walks",
     "dfs_canonical_walks",
     "bfs_encoded_walks",
+    "community_labels",
+    "louvain_labels",
+    "community_walks",
+    "community_sampled_walks",
     "triples_from_nt",
     "read_entities_tsv",
     "__version__",
