@@ -19,7 +19,7 @@ import itertools
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 from pyspark.storagelevel import StorageLevel
