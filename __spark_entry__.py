@@ -169,6 +169,21 @@ def _q_community_labels(spark, sf):
     return community_labels(_kg(spark, sf), iterations=5)
 
 
+def _q_community_sampled_walks(spark, sf):
+    # W13 teleport walker at hop_prob > 0 (community.py:187-250): the
+    # race, coin, and member draws run portable-hash (md5) so the
+    # DuckDB unrolled replica — over the SAME LPA label table oracled
+    # by community_labels — reproduces the walk set bit-for-bit
+    from pyrdf2vec_spark.walks import community_sampled_walks
+
+    kg = _kg(spark, sf)
+    w = community_sampled_walks(
+        kg, _customer_seeds(kg), 2, 3, hop_prob=0.15, sampler="uniform",
+        seed=42, lpa_iterations=5, algorithm="lpa", portable_hash=True,
+    )
+    return w.select("entity", F.array_join("walk", "->").alias("walk_str"))
+
+
 def _q_walks_dfs(spark, sf):
     # order seeds (real branching: placed_by + one contains edge per
     # lineitem) with the engine-portable md5 hash so the weighted draw
@@ -380,30 +395,6 @@ def _q_dedup_minhash_pairs(spark, sf):
     )
 
 
-def _q_dedup_simhash(spark, sf):
-    from pyrdf2vec_spark.functions.dedup import simhash
-
-    return simhash(_docs(spark, sf).where(F.col("doc_id") < 400), bits=16)
-
-
-def _q_dedup_simhash_pairs(spark, sf):
-    from pyrdf2vec_spark.functions.dedup import simhash_pairs
-
-    return simhash_pairs(
-        _docs(spark, sf).where(F.col("doc_id") < 400), bits=16, max_hamming=1
-    )
-
-
-def _q_dedup_simhash_pairs_h2(spark, sf):
-    # max_hamming=2 exercises the 3-band pigeonhole blocking — the
-    # two-half scheme this replaced silently dropped 1+1-split pairs
-    from pyrdf2vec_spark.functions.dedup import simhash_pairs
-
-    return simhash_pairs(
-        _docs(spark, sf).where(F.col("doc_id") < 400), bits=16, max_hamming=2
-    )
-
-
 def _q_dedup_simhash64(spark, sf):
     # full-width signatures: 193/200 have bit 63 set (negative bigint),
     # so this certifies sign-free band extraction engine-independently
@@ -576,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_degrees": _q_split_degrees,
         "pagerank": _q_pagerank,
         "community_labels": _q_community_labels,
+        "community_sampled_walks": _q_community_sampled_walks,
         "walks_dfs_sampled": _q_walks_dfs,
         "walks_dfs_canonical": _q_walks_dfs_canonical,
         "wl_labels_n1": _q_wl_labels,
@@ -590,11 +582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_components": _q_dedup_components,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs64": _q_dedup_simhash_pairs64,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_simhash_pairs_h2": _q_dedup_simhash_pairs_h2,
+        # (the 16-bit dedup_simhash / dedup_simhash_pairs / _h2 rows
+        # were retired in round 5: strictly dominated by the
+        # brute-force-oracled 64-bit rows, and the driver checks exactly
+        # 50 rows — the freed slots give multimodal_decoded /
+        # transcript_triples / community_sampled_walks their rows; the
+        # 16-bit paths stay pytest-covered in tests/test_dedup.py)
         "embed_topk": _q_embed_topk,
         "embed_ivf_topk": _q_embed_ivf_topk,
         "embed_neardup": _q_embed_neardup,
@@ -717,26 +712,6 @@ SELECT a, b, round(c / (sa.n + sb.n - c), 6) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE c / (sa.n + sb.n - c) >= 0.2
 """
-
-_SIMHASH_SQL = """
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
-        FROM documents WHERE doc_id < 400)
-), h AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
-), votes AS (
-  SELECT doc_id, {sums} FROM h GROUP BY doc_id
-)
-SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
-""".format(
-    sums=", ".join(
-        f"sum(((hv >> {b}) % 2) * 2 - 1) AS s{b}" for b in range(16)
-    ),
-    sig=" + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
-    ),
-)
 
 # full-width (64-bit) SimHash oracle: votes assemble into a HUGEINT
 # then wrap into the signed BIGINT two's-complement Spark produces
@@ -928,10 +903,12 @@ def _minhash_pairs_sql() -> str:
         f"CAST(h{2 * b + 1} AS STRING) AS band_sig FROM sigs"
         for b in range(6)
     )
+    # pairs are keyed (and a<b ordered) by the representative doc_id,
+    # mirroring the implementation's id-keyed shuffles
     return f"""
-WITH docs AS (SELECT text AS name, min(doc_id) AS doc_id
+WITH docs AS (SELECT text, min(doc_id) AS name
               FROM documents WHERE doc_id < 400 GROUP BY text),
-w AS (SELECT name, regexp_split_to_array(trim(lower(name)), ' +') AS ws
+w AS (SELECT name, regexp_split_to_array(trim(lower(text)), ' +') AS ws
       FROM docs),
 idx AS (SELECT name, ws,
                unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
@@ -956,8 +933,7 @@ verified AS (SELECT a, b, c / (sa.n_sh + sb.n_sh - c) AS j
              FROM common JOIN sizes sa ON sa.name = a
              JOIN sizes sb ON sb.name = b
              WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5)
-SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, round(j, 6) AS jaccard
-FROM verified JOIN docs da ON da.name = a JOIN docs db ON db.name = b
+SELECT a AS doc_a, b AS doc_b, round(j, 6) AS jaccard FROM verified
 """
 
 
@@ -984,29 +960,6 @@ FROM docs400 d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id
 """
 
-
-def _simhash_pairs_sql(bits: int, max_hamming: int) -> str:
-    """Replica of simhash_pairs banding: max_hamming+1 contiguous bands,
-    per-band equi-join, exact Hamming verify."""
-    from pyrdf2vec_spark.functions.dedup import simhash_band_widths
-
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, (simhash // {2**start}) % {2**width} "
-        f"AS block, {which} AS which FROM sig"
-        for which, (start, width) in enumerate(
-            simhash_band_widths(bits, max_hamming)
-        )
-    )
-    return f"""
-WITH sig AS ({_SIMHASH_SQL}),
-blocks AS ({band_rows}),
-cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                x.simhash AS ha, y.simhash AS hb
-         FROM blocks x JOIN blocks y USING (block, which)
-         WHERE x.doc_id < y.doc_id)
-SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
-"""
 
 _IVF_TOPK_SQL_TEMPLATE = (
     """
@@ -1297,12 +1250,13 @@ slots AS (SELECT o.entity, t.wid
 """
 
 
-def _lpa_sql(iters: int = 5) -> str:
-    """Unrolled label propagation replicating walks.community_labels:
-    undirected distinct edge set, self-vote each round, most-frequent
-    label with lexicographic tie-break. One CTE pair per iteration,
-    same shape as the pagerank oracle."""
-    head = f"""WITH edges AS MATERIALIZED ({TPCH_EDGES_SQL}),
+def _lpa_ctes(iters: int = 5) -> str:
+    """The WITH-body (edges … l{iters}) of the unrolled label
+    propagation replicating walks.community_labels: undirected distinct
+    edge set, self-vote each round, most-frequent label with
+    lexicographic tie-break. Shared by _lpa_sql and
+    _community_dfs_sql."""
+    head = f"""edges AS MATERIALIZED ({TPCH_EDGES_SQL}),
 und AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT src AS a, dst AS b FROM edges
@@ -1326,8 +1280,103 @@ l{k} AS MATERIALIZED (
            row_number() OVER (PARTITION BY id
                               ORDER BY cnt DESC, community) AS rn
     FROM c{k}) t WHERE rn = 1)""")
-    parts.append(f"\nSELECT id AS name, community FROM l{iters}")
     return "".join(parts)
+
+
+def _lpa_sql(iters: int = 5) -> str:
+    """Unrolled LPA — one CTE pair per iteration, same shape as the
+    pagerank oracle."""
+    return (
+        f"WITH {_lpa_ctes(iters)}\nSELECT id AS name, community FROM l{iters}"
+    )
+
+
+def _md5_u32_sql(concat_expr: str) -> str:
+    """DuckDB replica of walks._md5_uniform: first 8 hex chars of
+    md5(concat) as u32, +0.5, / 2**32."""
+    return (
+        f"((('0x' || substr(md5({concat_expr}), 1, 8))::BIGINT)::DOUBLE"
+        " + 0.5) / 4294967296.0"
+    )
+
+
+def _community_dfs_sql(
+    max_walks: int = 3,
+    hop_prob: float = 0.15,
+    seed: int = 42,
+    iters: int = 5,
+) -> str:
+    """Unrolled 2-depth replica of
+    community_sampled_walks(portable_hash=True) over customer seeds:
+    per (slot, depth) pick argmin of -ln(u) over candidate hops
+    (uniform sampler → weight 1), flip the teleport coin, and — when it
+    lands under hop_prob — REPLACE the hop object by the member of its
+    LPA community with the smallest md5 member-draw key. Labels are the
+    exact l{iters} table already oracled by community_labels."""
+
+    def step(k: int) -> str:
+        race_u = _md5_u32_sql(
+            f"s.entity || '|' || CAST(s.wid AS VARCHAR) || '|' || '{k}'"
+            f" || '|' || e.pred || '|' || e.dst || '|' || '{seed}'"
+        )
+        coin_u = _md5_u32_sql(
+            f"entity || '|' || CAST(wid AS VARCHAR) || '|' || '{k}'"
+            f" || '|' || '{seed + 7}'"
+        )
+        member_h = (
+            f"md5(t.walk || '|' || CAST(t.wid AS VARCHAR) || '|' ||"
+            f" m.member || '|' || '{seed + k}')"
+        )
+        return f"""
+cand{k} AS (
+  SELECT s.entity, s.wid, s.walk, e.pred AS p, e.dst AS o,
+         -ln({race_u}) AS key
+  FROM s{k} s JOIN edges e ON e.src = s.cur),
+pick{k} AS (
+  SELECT entity, wid, walk, p, o FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity, wid
+                                 ORDER BY key, p, o) AS rn
+    FROM cand{k}) WHERE rn = 1),
+t{k} AS (
+  SELECT *, ({coin_u}) < {hop_prob} AS tele FROM pick{k}),
+m{k} AS (
+  SELECT entity, wid, member FROM (
+    SELECT t.entity, t.wid, m.member,
+           row_number() OVER (PARTITION BY t.entity, t.wid
+                              ORDER BY {member_h}, m.member) AS rn
+    FROM t{k} t
+    JOIN labels l ON l.id = t.o
+    JOIN members m ON m.community = l.community
+    WHERE t.tele) WHERE rn = 1),
+s{k + 1} AS (
+  SELECT t.entity, t.wid,
+         COALESCE(m.member, t.o) AS cur,
+         t.walk || '->' || t.p || '->' || COALESCE(m.member, t.o) AS walk
+  FROM t{k} t LEFT JOIN m{k} m ON m.entity = t.entity AND m.wid = t.wid),
+dead{k + 1} AS (
+  SELECT s.entity, s.walk FROM s{k + 1} s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = s.cur))"""
+
+    wids = ", ".join(str(i) for i in range(max_walks))
+    return f"""WITH {_lpa_ctes(iters)},
+labels AS MATERIALIZED (SELECT id, community FROM l{iters}),
+members AS MATERIALIZED (SELECT community, id AS member FROM l{iters}),
+slots AS (
+  SELECT c.entity, t.wid
+  FROM (SELECT DISTINCT src AS entity FROM edges WHERE src LIKE 'c:%'
+        UNION SELECT DISTINCT dst FROM edges WHERE dst LIKE 'c:%') c,
+       (SELECT unnest([{wids}]) AS wid) t),
+s0 AS (SELECT entity, wid, entity AS cur, entity AS walk FROM slots),
+dead0 AS (
+  SELECT s.entity, s.walk FROM s0 s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = s.cur)),
+{step(0).lstrip()},
+{step(1).lstrip()}
+SELECT DISTINCT entity, walk AS walk_str FROM (
+  SELECT entity, walk FROM dead0
+  UNION ALL SELECT entity, walk FROM dead1
+  UNION ALL SELECT entity, walk FROM s2)
+"""
 
 
 def _pagerank_sql(alpha: float = 0.85, iters: int = 20) -> str:
@@ -1522,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(0.85, 20),
         "community_labels": _lpa_sql(5),
+        "community_sampled_walks": _community_dfs_sql(3, 0.15, 42, 5),
         "walks_dfs_sampled": _dfs_sql(3, 42),
         "walks_dfs_canonical": _dfs_sql(3, 42, canonical=True),
         "split_degrees": f"""{_EDGES_CTE},
@@ -1568,11 +1618,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _DEDUP_COMPONENTS_SQL_TEMPLATE.format(
             near_sql=_minhash_pairs_sql()
         ),
-        "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash64": _SIMHASH64_SQL,
         "dedup_simhash_pairs64": _SIMHASH64_PAIRS_SQL,
-        "dedup_simhash_pairs": _simhash_pairs_sql(16, 1),
-        "dedup_simhash_pairs_h2": _simhash_pairs_sql(16, 2),
         "embed_topk": _EMB_TOPK_SQL,
         "embed_ivf_topk": _IVF_TOPK_SQL,
         "wl_labels_n1": _WL_N1_SQL,

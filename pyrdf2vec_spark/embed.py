@@ -67,10 +67,14 @@ class SparkWord2Vec:
         self._vector_size = vector_size
         self._min_count = min_count
         self.max_vocab_size = max_vocab_size
-        # vocab_size_hint: a caller-known bound on the distinct-token
-        # count (e.g. the exact vocab table size from bfs_encoded_walks)
-        # — lets the guard validate the driver budget WITHOUT any scan
-        # of the corpus. Only consulted when no pruning is configured.
+        # vocab_size_hint: a caller-known HARD UPPER BOUND on the
+        # distinct-token count (e.g. the exact vocab table size from
+        # bfs_encoded_walks) — lets the guard validate the driver
+        # budget WITHOUT any scan of the corpus. Only consulted when no
+        # pruning is configured. The hint is trusted pre-fit, then
+        # cross-checked post-fit against the model's real vocabulary
+        # (one cheap vocab-sized count): a stale/undersized hint raises
+        # instead of silently defeating the driver-OOM guard.
         self.vocab_size_hint = vocab_size_hint
 
     def fit(self, walks: DataFrame, deterministic: bool = False) -> "SparkWord2Vec":
@@ -91,10 +95,30 @@ class SparkWord2Vec:
         # (where Catalyst cannot evaluate it).
         cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            used_hint = (
+                self.vocab_size_hint is not None
+                and self.max_vocab_size is None
+                and self._min_count <= 0
+            )
             corpus = self._guard_vocab(cached)
             if deterministic:
                 corpus = corpus.orderBy(F.col("walk"))
             self.model = self._w2v.fit(corpus)
+            if used_hint:
+                # the pre-fit budget check trusted the caller's bound;
+                # verify it against the REAL vocab (O(vocab) count over
+                # the fitted vectors — no corpus scan) so a stale hint
+                # cannot silently defeat the driver-OOM guard
+                actual = self.model.getVectors().count()
+                if actual > self.vocab_size_hint:
+                    raise ValueError(
+                        f"vocab_size_hint={self.vocab_size_hint:,} was "
+                        f"below the real vocabulary ({actual:,} tokens) "
+                        "— the pre-fit driver-memory estimate was "
+                        "invalid. Pass the true bound (e.g. the vocab "
+                        "table count from bfs_encoded_walks) or drop "
+                        "the hint to use the HLL guard."
+                    )
         finally:
             # MLlib caches its internal sentence RDD during fit, so the
             # input cache is safe to drop as soon as fit returns

@@ -96,19 +96,25 @@ def minhash_dedup_pairs(
     canonicalization LSH core (integer min-hash permutations,
     band-bucket join, exact-Jaccard verify) over WORD k-gram shingles
     (char n-grams are the right unit for short surface forms, word
-    k-grams for documents — far more discriminative)."""
+    k-grams for documents — far more discriminative).
+
+    Every LSH stage is keyed by the 8-byte representative ``doc_id``
+    (min doc_id per distinct text), NOT the text: the band, pair, and
+    verify joins of lsh_pairs shuffle on their key, and at 100-TB doc
+    scale a full-document join key is real bytes through the exchange —
+    the one text-keyed shuffle left is the initial representative
+    hash-agg (map-side partial), which is unavoidable."""
     from pyrdf2vec_spark.canon import lsh_pairs
 
+    docs = documents.groupBy("text").agg(F.min("doc_id").alias("name"))
     word_hashes = (
-        documents.select(F.col("text").alias("name"))
-        .distinct()
-        .select(
+        docs.select(
             "name",
             F.explode(
                 F.expr(
                     f"array_distinct(transform(sequence(1, greatest(1, "
-                    f"size(split(trim(lower(name)), ' +')) - {shingle_words - 1})), "
-                    f"i -> array_join(slice(split(trim(lower(name)), ' +'), i, {shingle_words}), ' ')))"
+                    f"size(split(trim(lower(text)), ' +')) - {shingle_words - 1})), "
+                    f"i -> array_join(slice(split(trim(lower(text)), ' +'), i, {shingle_words}), ' ')))"
                 )
             ).alias("s"),
         )
@@ -126,13 +132,10 @@ def minhash_dedup_pairs(
         band_size=band_size,
         jaccard_threshold=jaccard_threshold,
     )
-    ids = documents.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    return (
-        pairs.join(ids.withColumnRenamed("text", "a"), "a")
-        .withColumnRenamed("doc_id", "doc_a")
-        .join(ids.withColumnRenamed("text", "b"), "b")
-        .withColumnRenamed("doc_id", "doc_b")
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

@@ -11,8 +11,12 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import warnings
 
+from py4j.protocol import Py4JError
 from pyspark.sql import SparkSession
+
+_HARD_CKPT_WARNED = False
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -144,5 +148,21 @@ def hard_local_checkpoint(df):
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jfresh, spark)
-    except Exception:  # pragma: no cover - private-API fallback
+    except (AttributeError, TypeError, Py4JError):  # pragma: no cover
+        # private-API fallback: the plain checkpoint still materializes,
+        # but carries originStats — the geometric sizeInBytes compounding
+        # this function exists to prevent returns in multi-reference
+        # loops. Warn once so the regression is visible, not silent.
+        global _HARD_CKPT_WARNED
+        if not _HARD_CKPT_WARNED:
+            _HARD_CKPT_WARNED = True
+            warnings.warn(
+                "hard_local_checkpoint: internalCreateDataFrame "
+                "unavailable on this Spark build; falling back to plain "
+                "localCheckpoint. Long Louvain/LPA/connected-components "
+                "loops may hit the geometric plan-stats blowup "
+                "(see SURVEY.md §4).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck

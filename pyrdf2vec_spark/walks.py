@@ -115,6 +115,20 @@ def bfs_walks(
 # W3 — sampled DFS walks (RandomWalker._dfs, random.py:83-118 +
 # Sampler.sample_hop, samplers/sampler.py:138-180)
 # ---------------------------------------------------------------------------
+def _md5_uniform(*cols) -> "F.Column":
+    """Engine-portable deterministic uniform in (0,1): the first 8 hex
+    chars of md5(concat_ws('|', cols)) read as a 32-bit int, +0.5,
+    / 2**32 — replicated verbatim in DuckDB oracles as
+    ``((('0x' || substr(md5(a || '|' || b ...), 1, 8))::BIGINT)::DOUBLE
+    + 0.5) / 4294967296.0``. Slightly costlier than xxhash64; used only
+    by the ``portable_hash`` oracle paths."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+
+
 def sampled_walks(
     kg: SparkKG,
     entities: DataFrame,
@@ -238,28 +252,10 @@ def sampled_walks(
         other_tok = F.col("hop_tok") if tokens is not None else other
         # deterministic u ∈ (0,1) per (slot, depth, candidate)
         if portable_hash:
-            u = (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.col("entity"),
-                                F.col("walk_id"),
-                                F.lit(depth),
-                                F.col("pred"),
-                                other,
-                                F.lit(seed),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("double")
-                + F.lit(0.5)
-            ) / F.lit(float(2**32))
+            u = _md5_uniform(
+                F.col("entity"), F.col("walk_id"), F.lit(depth),
+                F.col("pred"), other, F.lit(seed),
+            )
         else:
             u = (
                 (
@@ -644,6 +640,17 @@ def bfs_canonical_walks(
         )
         if seed_entities is None:
             cache[ekey] = built
+        else:
+            # seed overlays depend on the (uncacheable-by-key) seed set:
+            # keep at most ONE live overlay per (width, direction) —
+            # unpersisting the previous call's table (lineage recomputes
+            # it if a stale result DataFrame is still evaluated later)
+            # instead of accumulating an |E|-row persist per call
+            skey = ("edges_tok_seeded", md5_bytes, hop_col)
+            prev = cache.get(skey)
+            if prev is not None:
+                prev.unpersist()
+            cache[skey] = built
     edges_tok = _edge_side(kg, built)
     root_tok = (
         F.col("entity")
@@ -1442,7 +1449,9 @@ def louvain_labels(
       ``2m·k_{i,c} − k_i·Σ_tot(c∖i)`` — no float ties, fully
       deterministic (tie-break: stay, then smallest community id).
       Longs hold 2m·k_{i,c} up to ~3·10^9 edges × hub degree 10^9;
-      beyond that switch the score to decimal(38,0).
+      a per-level runtime guard (2·m2·max_k vs 2^62) auto-switches
+      the score expression to decimal(38,0) beyond that — silent
+      wraparound cannot occur.
     - **Aggregation** between levels: communities collapse to
       super-nodes; intra-community weight becomes a self-loop stored
       at its directed (2×) weight so ``k = Σ w`` stays uniform.
@@ -1485,6 +1494,17 @@ def louvain_labels(
             edges.groupBy("a")
             .agg(F.sum("w").alias("k"))
             .withColumnRenamed("a", "id")
+        )
+        # overflow guard: the long-typed score 2m·k_{i,c} − k_i·Σ is
+        # bounded by m2·max_k per term; when two such terms could
+        # approach 2^63 the score silently wraps (WRONG partitions, no
+        # error) — auto-switch the expression to decimal(38,0), which
+        # holds m2·max_k up to ~10^38 exactly
+        max_k = deg.agg(F.max("k")).first()[0] or 1
+        score_type = (
+            "decimal(38,0)"
+            if 2 * int(m2) * int(max_k) >= 2**62
+            else "long"
         )
         labels = hard_local_checkpoint(
             deg.select("id", F.col("id").alias("community"))
@@ -1534,8 +1554,10 @@ def louvain_labels(
                 )
                 .withColumn(
                     "_score2",
-                    F.lit(int(m2)).cast("long") * F.col("kic")
-                    - F.col("k") * F.col("_sig_wo_i"),
+                    F.lit(int(m2)).cast(score_type)
+                    * F.col("kic").cast(score_type)
+                    - F.col("k").cast(score_type)
+                    * F.col("_sig_wo_i").cast(score_type),
                 )
             )
             picked = scored.groupBy("id").agg(
@@ -1766,6 +1788,7 @@ def community_sampled_walks(
     is_reverse: bool = False,
     lpa_iterations: int = 5,
     algorithm: str = "lpa",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """CommunityWalker._dfs (community.py:187-250): sampled walks where
     each drawn hop (pred, obj), with probability ``hop_prob``, REPLACES
@@ -1774,6 +1797,12 @@ def community_sampled_walks(
 
     ``algorithm="louvain"`` swaps the LPA stand-in for the reference's
     own community algorithm (see :func:`community_walks`).
+
+    ``portable_hash=True`` swaps all three deterministic draws (the
+    candidate race, the teleport coin, the member pick) from xxhash64
+    to the md5 scheme of :func:`_md5_uniform`, so a DuckDB oracle can
+    replicate the walk set bit-for-bit; the default stays on xxhash64
+    for the hot path.
 
     Distribution-equivalent (deterministic hash randomness, same
     documented divergence as community_walks); hop draw = the
@@ -1815,16 +1844,22 @@ def community_sampled_walks(
         )
         finished = dead if finished is None else finished.unionByName(dead)
         live = joined.where(F.col("pred").isNotNull())
-        u = (
-            F.pmod(
-                F.xxhash64(
-                    F.col("entity"), F.col("walk_id"), F.lit(depth),
-                    F.col("pred"), other, F.lit(seed),
-                ),
-                F.lit(2**31 - 1),
-            ).cast("double")
-            + F.lit(1.0)
-        ) / F.lit(float(2**31))
+        if portable_hash:
+            u = _md5_uniform(
+                F.col("entity"), F.col("walk_id"), F.lit(depth),
+                F.col("pred"), other, F.lit(seed),
+            )
+        else:
+            u = (
+                F.pmod(
+                    F.xxhash64(
+                        F.col("entity"), F.col("walk_id"), F.lit(depth),
+                        F.col("pred"), other, F.lit(seed),
+                    ),
+                    F.lit(2**31 - 1),
+                ).cast("double")
+                + F.lit(1.0)
+            ) / F.lit(float(2**31))
         race_key = -F.log(u) / F.col("norm_weight")
         picked = live.groupBy("entity", "walk_id").agg(
             F.min_by(
@@ -1834,16 +1869,42 @@ def community_sampled_walks(
             F.first("walk").alias("walk"),
         )
         # teleport coin per picked hop (community.py:222-247)
-        coin = (
-            F.pmod(
-                F.xxhash64(
-                    F.col("entity"), F.col("walk_id"), F.lit(depth),
-                    F.lit(seed + 7),
-                ),
-                F.lit(10**6),
-            ).cast("double")
-            / F.lit(10.0**6)
-        )
+        if portable_hash:
+            coin = _md5_uniform(
+                F.col("entity"), F.col("walk_id"), F.lit(depth),
+                F.lit(seed + 7),
+            )
+        else:
+            coin = (
+                F.pmod(
+                    F.xxhash64(
+                        F.col("entity"), F.col("walk_id"), F.lit(depth),
+                        F.lit(seed + 7),
+                    ),
+                    F.lit(10**6),
+                ).cast("double")
+                / F.lit(10.0**6)
+            )
+        # walk_id in the member-draw hash: identical-prefix slots must
+        # still draw independent members
+        if portable_hash:
+            member_key = F.struct(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.array_join(F.col("walk"), "->"),
+                        F.col("walk_id"),
+                        F.col("member"),
+                        F.lit(seed + depth),
+                    )
+                ).alias("h"),
+                F.col("member"),
+            )
+        else:
+            member_key = F.xxhash64(
+                F.col("walk"), F.col("walk_id"), F.col("member"),
+                F.lit(seed + depth),
+            )
         picked = picked.withColumn("tele", coin < F.lit(hop_prob))
         tele = (
             picked.where(F.col("tele"))
@@ -1852,15 +1913,7 @@ def community_sampled_walks(
             .join(members, "community")
             .groupBy("entity", "walk_id")
             .agg(
-                F.min_by(
-                    "member",
-                    # walk_id in the hash: identical-prefix slots must
-                    # still draw independent members
-                    F.xxhash64(
-                        F.col("walk"), F.col("walk_id"), F.col("member"),
-                        F.lit(seed + depth),
-                    ),
-                ).alias("o2"),
+                F.min_by("member", member_key).alias("o2"),
                 F.first("hop").alias("hop"),
                 F.first("walk").alias("walk"),
             )

@@ -263,3 +263,24 @@ class TestDistributedLouvain:
         p1 = _spark_partition(spark, edges, louvain_labels)
         p2 = _spark_partition(spark, edges, louvain_labels)
         assert p1 == p2
+
+    def test_stored_fixture_labels(self, spark):
+        # EXACT label regression on noisy_planted(3,10,0.6,0.15,5):
+        # the implementation is fully deterministic (integer gains,
+        # parity sweeps, documented tie-breaks), so any drift in the
+        # algorithm — even one that keeps modularity above the 0.95
+        # floor — must show up here as a changed label assignment.
+        # Expected output recorded 2026-08 (round 5); n2_8 genuinely
+        # lands with community 0 (its noise edges outweigh the ring).
+        c0, c1, c2 = (
+            6292208720429013989,
+            -905882237308799341,
+            -8746348324214928455,
+        )
+        expected = {f"n0_{i}": c0 for i in range(10)}
+        expected.update({f"n1_{i}": c1 for i in range(10)})
+        expected.update({f"n2_{i}": c2 for i in range(10)})
+        expected["n2_8"] = c0
+        edges = noisy_planted(3, 10, 0.6, 0.15, 5)
+        got = _spark_partition(spark, edges, louvain_labels)
+        assert got == expected

@@ -138,6 +138,14 @@ class TestWord2Vec:
         ok = SparkWord2Vec(vector_size=8, vocab_size_hint=100).fit(corpus)
         assert ok.model is not None
 
+    def test_vocab_size_hint_stale_raises_post_fit(self, spark, corpus):
+        # a hint below the true vocab silently defeats the pre-fit
+        # OOM guard — the post-fit cross-check against the model's
+        # real vocabulary catches it
+        w2v = SparkWord2Vec(vector_size=8, vocab_size_hint=1)
+        with pytest.raises(ValueError, match="below the real vocabulary"):
+            w2v.fit(corpus)
+
     def test_max_vocab_size_prunes_to_top_frequency(self, spark):
         walks = spark.createDataFrame(
             [(["a", "b", "a", "c"],), (["a", "b", "rare"],)] * 3,

@@ -274,6 +274,35 @@ class TestNGram:
         wild = ngram_walks(raw, grams=2, wildcards=[1]).count()
         assert wild > plain
 
+    def test_gram_ids_are_lexicographic_ranks(self, spark):
+        # pins the plan-behavior contract the ngram gram-id assignment
+        # rests on: a distinct→orderBy feeding _zip_dense_index yields
+        # _idx == global sorted rank even on MULTI-partition input and
+        # under a downstream join+aggregate (the shape that would let
+        # Catalyst's EliminateSorts drop the orderBy if the persist()
+        # inside _zip_dense_index ever stopped shielding it)
+        from pyrdf2vec_spark.walks import _zip_dense_index
+
+        keys = [f"g{i:05d}" for i in range(4000)]
+        df = spark.createDataFrame(
+            [(k,) for k in reversed(keys)], "ngram_key string"
+        ).repartition(16)
+        srt = df.distinct().orderBy("ngram_key")
+        indexed, n = _zip_dense_index(srt, "ngram_key")
+        assert n == len(keys)
+        # downstream join + aggregate, like ngram_walks' relabel join
+        joined = df.join(
+            indexed.withColumnRenamed("_idx", "gram_id"), "ngram_key"
+        )
+        got = {
+            r["ngram_key"]: r["gid"]
+            for r in joined.groupBy("ngram_key")
+            .agg(F.min("gram_id").alias("gid"))
+            .collect()
+        }
+        for rank, k in enumerate(sorted(keys)):
+            assert got[k] == rank
+
 
 # ---------------------------------------------------------------------------
 # W10 HALK (halk.py:59-176; thresholds per tests/walkers/test_halk.py)
@@ -516,6 +545,41 @@ class TestCommunity:
             )
         )
         assert got == plain
+
+    def test_sampled_portable_no_teleport_equals_sampled(
+        self, kg_loop, roots
+    ):
+        # the portable (md5) draws degenerate identically: hop_prob=0
+        # community walks == sampled_walks under the SAME portable race
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        plain = walks_set(
+            sampled_walks(kg_loop, roots, 2, 4, seed=9, portable_hash=True)
+        )
+        got = walks_set(
+            community_sampled_walks(
+                kg_loop, roots, 2, 4, hop_prob=0.0, seed=9,
+                portable_hash=True,
+            )
+        )
+        assert got == plain
+
+    def test_sampled_portable_teleports_deterministic(self, kg_loop, roots):
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        a = walks_set(
+            community_sampled_walks(
+                kg_loop, roots, 2, 4, hop_prob=0.6, seed=3,
+                portable_hash=True,
+            )
+        )
+        b = walks_set(
+            community_sampled_walks(
+                kg_loop, roots, 2, 4, hop_prob=0.6, seed=3,
+                portable_hash=True,
+            )
+        )
+        assert a == b and len(a) > 0
 
     def test_sampled_teleport_replaces_object(self, spark):
         # hop_prob=1 on a two-community graph: after the hop from a→b,
