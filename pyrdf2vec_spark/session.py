@@ -58,7 +58,13 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        # SPARK_GRAFT_MASTER overrides the whole master URL — used by
+        # the scaling evidence to run local-cluster[N,C,M] (separate
+        # executor JVMs: real shuffle ser/de, per-executor heaps — the
+        # closest N-vs-4N cluster proxy a single box can produce)
+        master = os.environ.get("SPARK_GRAFT_MASTER") or (
+            f"local[{cpus}]" if cpus else "local[*]"
+        )
     if shuffle_partitions is None:
         # floor of 32 regardless of cores: AQE coalesces surplus
         # partitions for free, but it can never SPLIT — with one

@@ -67,6 +67,22 @@ def read_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     return df.drop("_bucket") if "_bucket" in df.columns else df
 
 
+def materialize_kg(kg, base_path: str, buckets: int = DEFAULT_BUCKETS) -> None:
+    """Materialize a SparkKG as the north rule's partitioned vertex/edge
+    tables: ``edges`` bucketed by subject (walk frontiers join on src,
+    so bucket-pruned co-located reads), ``vertices`` bucketed by name.
+    Iceberg tables when a catalog is configured, partitioned parquet
+    with the same bucket layout otherwise."""
+    write_table(
+        kg.edges, "edges", f"{base_path}/edges",
+        partition_col="src", buckets=buckets,
+    )
+    write_table(
+        kg.entity_names(), "vertices", f"{base_path}/vertices",
+        partition_col="name", buckets=buckets,
+    )
+
+
 def upsert_triples(
     new_triples: DataFrame, name: str, path: str
 ) -> None:
