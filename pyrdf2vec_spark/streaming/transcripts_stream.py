@@ -71,13 +71,14 @@ def stream_triples(
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        new = triples_only(extract_triples(batch_df))
-        try:
-            existing = spark.read.parquet(output_dir)
-            delta = new.join(existing, ["subj", "pred", "obj"], "left_anti")
-        except Exception:
-            delta = new
-        delta.write.mode("append").parquet(output_dir)
+        # the storage layer picks MERGE INTO when an Iceberg catalog is
+        # configured, anti-join-append on the parquet fallback — the
+        # same upsert the batch path uses (storage.upsert_triples)
+        from pyrdf2vec_spark.storage import upsert_triples
+
+        upsert_triples(
+            triples_only(extract_triples(batch_df)), "triples", output_dir
+        )
 
     writer = (
         read_transcript_stream(spark, input_dir)
