@@ -144,6 +144,7 @@ def lsh_pairs(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash-LSH blocking + exact-Jaccard verify over ANY
     (name, h:bigint) shingle-hash table.
@@ -201,6 +202,11 @@ def lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
+    if not checkpoint:
+        # plan-inspection mode (tools/explain_plans.py): return the
+        # full lazy plan instead of the checkpointed RDD leaf. Caller
+        # owns the persisted inputs' lifetime in this mode.
+        return verified
     out = verified.localCheckpoint(eager=True)
     hashes.unpersist()
     pairs.unpersist()

@@ -91,6 +91,7 @@ def minhash_dedup_pairs(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     shingle_words: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup blocking over document texts — the
     canonicalization LSH core (integer min-hash permutations,
@@ -131,6 +132,7 @@ def minhash_dedup_pairs(
         num_hashes=num_hashes,
         band_size=band_size,
         jaccard_threshold=jaccard_threshold,
+        checkpoint=checkpoint,
     )
     return pairs.select(
         F.col("a").alias("doc_a"),
