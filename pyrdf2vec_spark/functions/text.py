@@ -148,3 +148,65 @@ def fingerprints(documents: DataFrame, shingle_words: int = 3) -> DataFrame:
         )).alias("fingerprint"),
         F.size(shingles).alias("n_shingles"),
     )
+
+
+# patterns are deliberately simple and auditable: training-data
+# redaction wants predictable recall over clever heuristics, and every
+# expression stays a JVM-side regexp (whole-stage codegen, no UDF)
+_REDACT_PATTERNS = {
+    # dict order IS application order: most-specific first — url before
+    # anything digit-shaped, card (13-19 digit shapes) before the
+    # looser phone pattern
+    # http(s) URLs up to whitespace
+    "url": r"https?://[^\s]+",
+    # local-part chars, @, dotted domain
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # 13-19 digit runs with optional spaces/dashes (card-number shaped)
+    "card": r"\b\d{4}[-\s]?\d{4}[-\s]?\d{4}[-\s]?\d{1,7}\b",
+    # 7+ digit runs with optional separators/parens and intl prefix
+    "phone": (
+        r"(?:\+\d{1,3}[-.\s]?)?\(?\d{2,4}\)?[-.\s]?"
+        r"\d{3,4}[-.\s]?\d{3,4}(?:[-.\s]?\d{1,4})?"
+    ),
+}
+
+
+def redact_pii(documents: DataFrame, kinds: list | None = None) -> DataFrame:
+    """PII-shaped span masking over ``text`` — the standard
+    training-data scrub pass (emails, phone numbers, URLs, card-shaped
+    digit runs → ``<KIND>`` placeholders), implemented as chained
+    ``regexp_replace`` Catalyst expressions: partition-local, zero
+    shuffle, no Python in the hot path.
+
+    Returns (doc_id, text_redacted, n_redactions:int — total masked
+    spans across the selected kinds). Application order is the fixed
+    dict order — url → email → card → phone — so URLs' digit runs and
+    card-shaped numbers are consumed before the looser phone pattern
+    sees them.
+    """
+    kinds = list(_REDACT_PATTERNS) if kinds is None else kinds
+    unknown = [k for k in kinds if k not in _REDACT_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown redaction kinds {unknown}; "
+            f"valid: {sorted(_REDACT_PATTERNS)}"
+        )
+    ordered = [k for k in _REDACT_PATTERNS if k in kinds]
+    masked = F.col("text")
+    n_total = F.lit(0)
+    for k in ordered:
+        pat = _REDACT_PATTERNS[k]
+        # column-API regexp_extract_all, NOT F.expr: embedding the
+        # pattern in SQL text would re-parse its backslash escapes.
+        # Counts run on the PROGRESSIVELY masked text, so a span
+        # consumed by an earlier kind (a URL's digit run) is not
+        # double-counted by a later one.
+        n_total = n_total + F.size(
+            F.regexp_extract_all(masked, F.lit(pat), F.lit(0))
+        )
+        masked = F.regexp_replace(masked, pat, f"<{k.upper()}>")
+    return documents.select(
+        "doc_id",
+        masked.alias("text_redacted"),
+        n_total.cast("int").alias("n_redactions"),
+    )

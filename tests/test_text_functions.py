@@ -54,3 +54,43 @@ class TestChunkDocuments:
             chunk_documents(df, 4, 4)
         with pytest.raises(ValueError):
             chunk_documents(df, 4, -1)
+
+
+class TestRedactPii:
+    def _one(self, spark, text, **kw):
+        from pyrdf2vec_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = redact_pii(df, **kw).first()
+        return r["text_redacted"], r["n_redactions"]
+
+    def test_masks_each_kind(self, spark):
+        txt = ("mail bob@example.com or call +1 (555) 123-4567, "
+               "see https://ex.com/a?b=1 pay 4111-1111-1111-1111 now")
+        out, n = self._one(spark, txt)
+        assert "<EMAIL>" in out and "<PHONE>" in out
+        assert "<URL>" in out and "<CARD>" in out
+        assert "bob@example.com" not in out
+        assert "4111" not in out
+        assert n == 4
+
+    def test_url_digits_not_double_counted(self, spark):
+        # the URL's digit run must not also count as a phone: counts
+        # run on the progressively masked text
+        out, n = self._one(spark, "go to https://x.io/5551234567 now")
+        assert out == "go to <URL> now"
+        assert n == 1
+
+    def test_kind_subset_and_unknown_raise(self, spark):
+        import pytest as _pytest
+
+        out, n = self._one(
+            spark, "bob@example.com and https://x.io", kinds=["email"]
+        )
+        assert out == "<EMAIL> and https://x.io" and n == 1
+        with _pytest.raises(ValueError, match="unknown redaction kinds"):
+            self._one(spark, "x", kinds=["ssn"])
+
+    def test_clean_text_untouched(self, spark):
+        out, n = self._one(spark, "no sensitive content here")
+        assert out == "no sensitive content here" and n == 0
