@@ -162,7 +162,33 @@ def _r5_section(r5):
         "  bus + per-executor overhead, resources a real 4N cluster\n"
         "  multiplies with N. The plan-level evidence (key-partitioned\n"
         "  joins, partition-local extraction, no driver loops, banded\n"
-        "  dedup) is in BENCH/PLANS.md.\n"
+        "  dedup) is in BENCH/PLANS.md.\n\n"
+        "### Round-5 headline-bench notes (sf0.1, local[32])\n\n"
+        "- **q5 pagerank 29.2 → ~17-20 s**: fixed-iteration mode now\n"
+        "  uses LAZY per-round localCheckpoints — the plan is still\n"
+        "  truncated every iteration but all 20 rounds run as ONE job\n"
+        "  instead of 20 driver-synchronized jobs (controlled variant\n"
+        "  experiment: 18.3→16.5 s warm, 45.8→17.9 s cold).\n"
+        "- **q7 back to round-3 level** (1.96-2.47 s vs r4's 2.26):\n"
+        "  the r4 drift was ambient, per the new canary.\n"
+        "- **q6 minhash carries a named ~2-3 s local cost**: round 5\n"
+        "  re-keyed every LSH exchange by the 8-byte representative\n"
+        "  doc_id (full texts no longer ride the band/pair/verify\n"
+        "  shuffles — see the PLANS.md MinHash section). Interleaved\n"
+        "  same-window A/B measures old 3.4-5.2 s vs new 5.9-8.8 s at\n"
+        "  sf0.1, even though a stage-by-stage decomposition times the\n"
+        "  id-keyed variant FASTER at every stage (hashes/pairs/verify)\n"
+        "  — the residual sits in the full pipeline's cache\n"
+        "  materialization interleaving, not in any exchange. Accepted\n"
+        "  deliberately: sf0.1 synthetic texts are ~200 B (the id saves\n"
+        "  nothing locally), while at 100-TB document scale the\n"
+        "  band/pair/verify shuffles carry KB-scale documents twice —\n"
+        "  the id-keying is the difference between shuffling the corpus\n"
+        "  and shuffling 8-byte keys.\n"
+        "- bench.py now records per-rep walls and a warm pre/mid/post\n"
+        "  ambient canary (quiet ≈ 0.15-0.2 s); single-run lines (q2,\n"
+        "  q8) were the only ones an ambient burst could hit\n"
+        "  unprotected — q8 is min-of-2 since round 5.\n"
     )
     return "\n".join(w_out)
 
