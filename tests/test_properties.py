@@ -64,3 +64,44 @@ def test_md5_repr_spec(s):
     from pyrdf2vec_spark.walks import _md5_repr
     r = _md5_repr(s, 8)
     assert r == str(hashlib.md5(s.encode()).digest()[:8])
+
+
+# redact_pii spec mirror: the patterns are portable regex (same
+# semantics in Java's engine and Python's re for these constructs), so
+# the masking-chain invariants can be property-tested without a session
+def _py_mask(text):
+    import re
+
+    from pyrdf2vec_spark.functions.text import _REDACT_PATTERNS
+
+    for k, pat in _REDACT_PATTERNS.items():
+        text = re.sub(pat, f"<{k.upper()}>", text)
+    return text
+
+
+_pii_atoms = st.sampled_from([
+    "bob@example.com", "x.y+z@sub.dom.org", "https://ex.com/a?b=1&c=2",
+    "http://localhost:8080/p", "+1 (555) 123-4567", "555-123-4567",
+    "4111-1111-1111-1111", "4111 1111 1111 1111", "plain words",
+    "numbers 42 here", "comma, dot.", "", "  ", "<URL>", "a@b", "5551234",
+])
+
+
+@given(st.lists(_pii_atoms, min_size=0, max_size=6))
+@settings(max_examples=300)
+def test_redact_masking_chain_idempotent(parts):
+    text = " ".join(parts)
+    once = _py_mask(text)
+    assert _py_mask(once) == once  # placeholders are fixed points
+
+
+@given(st.lists(_pii_atoms, min_size=0, max_size=6))
+@settings(max_examples=300)
+def test_redact_removes_every_span(parts):
+    import re
+
+    from pyrdf2vec_spark.functions.text import _REDACT_PATTERNS
+
+    out = _py_mask(" ".join(parts))
+    for pat in _REDACT_PATTERNS.values():
+        assert re.search(pat, out) is None, (out, pat)

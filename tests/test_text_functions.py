@@ -94,3 +94,36 @@ class TestRedactPii:
     def test_clean_text_untouched(self, spark):
         out, n = self._one(spark, "no sensitive content here")
         assert out == "no sensitive content here" and n == 0
+
+    def test_matches_python_re_mirror(self, spark):
+        # the property tests (test_properties.py) pin the masking-chain
+        # invariants on a pure-Python re mirror; this differential pins
+        # the Spark expressions to that same mirror
+        import re
+
+        from pyrdf2vec_spark.functions.text import (
+            _REDACT_PATTERNS,
+            redact_pii,
+        )
+
+        texts = [
+            "bob@example.com https://ex.com/a?b=1 +1 (555) 123-4567",
+            "pay 4111-1111-1111-1111 or 4111 1111 1111 1111",
+            "clean text, nothing here",
+            "edge a@b 5551234 http://localhost:8080/p <URL>",
+        ]
+
+        def mirror(t):
+            for k, pat in _REDACT_PATTERNS.items():
+                t = re.sub(pat, f"<{k.upper()}>", t)
+            return t
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["text_redacted"]
+            for r in redact_pii(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == mirror(t), (got[i], mirror(t))
