@@ -219,7 +219,13 @@ def pagerank(
             # tol <= 0 → fixed-iteration mode (deterministic plan shape,
             # no per-iteration convergence collect)
             err = None
-        if hasattr(ranks, "unpersist"):
+        if eager:
+            # eager mode materialized the new checkpoint, so the old
+            # one's blocks can drop now. In LAZY mode unpersisting here
+            # would strip the not-yet-materialized checkpoint's storage
+            # level — every later reference (contrib + dangling read the
+            # previous ranks TWICE per round) would then recompute its
+            # whole chain when the single final job runs.
             ranks.unpersist()
         ranks = new_ranks
         if err is not None and err < n * tol:
