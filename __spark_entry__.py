@@ -327,9 +327,48 @@ def _q_text_langid(spark, sf):
 
 
 def _q_text_fingerprint(spark, sf):
+    # rotated OUT of the 50-row driver budget in round 6 (scan-only op,
+    # stable pytest goldens) to give redact_pii its first hard driver
+    # signal — rotation policy in STATUS.md; returns in a later round
     from pyrdf2vec_spark.functions.text import fingerprints
 
     return fingerprints(_docs(spark, sf))
+
+
+def _q_redact_pii(spark, sf):
+    # PII-laden text is INJECTED deterministically around each doc (the
+    # synthetic corpus carries no emails/urls, and an all-zero
+    # n_redactions row would certify nothing about the masking): one
+    # url + email + card + phone per row, then the real text body
+    from pyrdf2vec_spark.functions.text import redact_pii
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q=1 mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-mail.org call +1 415-555-"),
+            F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" card 4242 4242 4242 4242 :: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def _q_decontaminate(spark, sf):
+    # test-set-leakage scrub: every ~89th document doubles as a held-out
+    # "benchmark" row, so the expected output is the planted self-leaks
+    # (ratio 1.0) plus any real near-dups of those docs in the corpus
+    from pyrdf2vec_spark.functions.dedup import decontaminate
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.pmod("doc_id", F.lit(89)) == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(docs, bench, k=3, threshold=0.5)
 
 
 def _q_text_chunks(spark, sf):
@@ -573,8 +612,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_labels_n1": _q_wl_labels,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
+        # text_langid + text_fingerprint rotated out for round 6
+        # (scan-only ops with stable pytest goldens; the driver checks
+        # exactly 50 rows) so redact_pii — the only operator family
+        # without a hard driver signal — and the new decontaminate
+        # operator get oracle rows. Rotation policy: STATUS.md.
+        "redact_pii": _q_redact_pii,
+        "decontaminate": _q_decontaminate,
         "text_chunks": _q_text_chunks,
         "embed_quantized": _q_embed_quantized,
         "embed_quantized_topk": _q_embed_quantized_topk,
@@ -1504,6 +1548,64 @@ FROM f GROUP BY user_id
 """
 
 
+def _redact_sql() -> str:
+    """DuckDB twin of redact_pii over the SAME injected-PII text as
+    _q_redact_pii: the chain is generated from _REDACT_PATTERNS itself
+    so the oracle can never drift from the shipped patterns (they are
+    RE2/Java-portable by design — pinned by the hypothesis pure-``re``
+    mirror in tests/test_text_functions.py). Counts run on the
+    progressively masked text, exactly like the Spark side."""
+    from pyrdf2vec_spark.functions.text import _REDACT_PATTERNS
+
+    inject = (
+        "'see https://ex.com/' || doc_id || '?q=1 mail u' || doc_id || "
+        "'@ex-mail.org call +1 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' card 4242 4242 4242 4242 :: ' || text"
+    )
+    sql = f"WITH t0 AS (SELECT doc_id, {inject} AS t, 0 AS n FROM documents)"
+    prev = "t0"
+    for i, (kind, pat) in enumerate(_REDACT_PATTERNS.items(), 1):
+        lit = pat.replace("'", "''")
+        sql += (
+            f", t{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{lit}', '<{kind.upper()}>', 'g') AS t, "
+            f"n + len(regexp_extract_all(t, '{lit}')) AS n FROM {prev})"
+        )
+        prev = f"t{i}"
+    return (
+        sql + f" SELECT doc_id, t AS text_redacted, "
+        f"CAST(n AS INTEGER) AS n_redactions FROM {prev}"
+    )
+
+
+# decontamination oracle: same derived benchmark (every 89th doc), same
+# benchmark-relative ratio, same round-then-filter rule as the Spark side
+_DECON_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM idx
+), bench AS (
+  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 89 = 0
+), bsz AS (
+  SELECT bench_id, count(*) AS n FROM bench GROUP BY bench_id
+), hits AS (
+  SELECT d.doc_id, b.bench_id, count(*) AS c
+  FROM sh d JOIN bench b USING (s)
+  GROUP BY d.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, round(c / z.n, 6) AS overlap_ratio
+FROM hits h JOIN bsz z USING (bench_id)
+WHERE round(c / z.n, 6) >= 0.5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples": TPCH_TRIPLES_SQL,
@@ -1603,8 +1705,11 @@ def oracle_sql() -> dict[str, str]:
         "walk_wl_depth1": _wl_depth1_sql(),
         "text_token_stats": _TOKSTATS_SQL,
         "text_quality": _QUALITY_SQL,
-        "text_langid": _LANGID_SQL,
-        "text_fingerprint": _FINGERPRINT_SQL,
+        # text_langid/_LANGID_SQL and text_fingerprint/_FINGERPRINT_SQL
+        # rotated out this round (see queries()); their SQL stays for
+        # the next rotation
+        "redact_pii": _redact_sql(),
+        "decontaminate": _DECON_SQL,
         "text_chunks": _CHUNKS_SQL,
         "embed_quantized": _EMB_QUANT_SQL,
         "embed_quantized_topk": _EMB_QUANT_TOPK_SQL,

@@ -50,22 +50,48 @@ def main():
 
     _bcw(wkg, wkg.entity_names(), 2, md5_bytes=8).count()
 
+    def _canary_once():
+        # one warm run of the fixed tiny scan+agg: its code never
+        # changes, so its wall is a direct ambient-contention probe
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+            F.sum(F.length("text"))
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
     def timed(name, fn, reps=1):
         # reps=2 for side-effect-free queries: the box is a shared VM
         # whose ambient load inflates any single run 1.3-5×; min-of-2
         # is the standard least-noise estimator (BENCH/BASELINE.md
         # methodology) and keeps one bad window from dominating a query
-        best, out, walls = None, None, []
+        best, out, walls, env = None, None, [], []
         for _ in range(reps):
+            # per-rep ambient tag: the pre/mid/post canary instants
+            # provably miss multi-minute bursts (r5: q5 swung 17–82 s
+            # same-code while instants read quiet). An ADJACENT canary
+            # + loadavg before each rep, and loadavg right after it,
+            # make every rep's wall attributable. load1_post during a
+            # saturating local[32] rep includes our own threads — read
+            # it relative to the canary, not as an absolute.
+            load1 = round(os.getloadavg()[0], 2)
+            canary = _canary_once()
             t0 = time.perf_counter()
             out = fn()
             wall = time.perf_counter() - t0
             walls.append(round(wall, 3))
+            env.append(
+                {
+                    "canary": canary,
+                    "load1_pre": load1,
+                    "load1_post": round(os.getloadavg()[0], 2),
+                }
+            )
             best = wall if best is None else min(best, wall)
         timings[name] = round(best, 3)
         # every rep wall is recorded so round-over-round drift on a
         # min-of-2 number can be distinguished from one bad window
         extras.setdefault("rep_walls", {})[name] = walls
+        extras.setdefault("rep_env", {})[name] = env
         return out
 
     # ambient-load canary: a FIXED tiny scan+agg measured at three
@@ -77,13 +103,8 @@ def main():
         # run twice, report the second: the first "pre" call otherwise
         # measures the cold parquet-scan/codegen path, not ambient load
         # (observed pre≈1.4 s vs mid/post≈0.2 s on a quiet box)
-        fn = lambda: spark.read.parquet(  # noqa: E731
-            f"{sf_dir}/documents.parquet"
-        ).agg(F.sum(F.length("text"))).collect()
-        fn()
-        t0 = time.perf_counter()
-        fn()
-        return round(time.perf_counter() - t0, 3)
+        _canary_once()
+        return _canary_once()
 
     canary = {"pre": _canary()}
 
@@ -93,7 +114,10 @@ def main():
         tr = synth_transcripts(spark, n_convs, TURNS, seed=42)
         return triples_only(extract_triples(tr)).count()
 
-    n_triples = timed("q1_transcript_extract", q1)
+    # reps=2: q1 feeds turns/sec — the BASELINE.md headline metric —
+    # and was the one single-rep line left (r5's turns/sec "dropped"
+    # 125,945 → 89,166 purely because one unprotected rep ate a burst)
+    n_triples = timed("q1_transcript_extract", q1, reps=2)
     extras["turns_per_sec"] = round(
         n_convs * TURNS / timings["q1_transcript_extract"], 1
     )

@@ -85,6 +85,58 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Test-set-leakage (decontamination) check: word k-gram overlap of
+    every training document against a held-out benchmark/eval set — the
+    scrub every large-scale training pipeline runs so eval examples
+    don't leak into the corpus.
+
+    ``benchmark`` carries (bench_id, text). Emits one row per
+    contaminated pair: (doc_id, bench_id, overlap_ratio) where
+    ``overlap_ratio`` = |doc ∩ bench| / |bench distinct k-grams| — the
+    fraction of the BENCHMARK's distinct k-grams found in the document.
+    Benchmark-relative on purpose: a long training document cannot
+    dilute a fully-leaked short eval example. Filtered to
+    ``overlap_ratio >= threshold``.
+
+    Scale shape: the benchmark side is tiny next to a 100-TB corpus, so
+    its exploded (k-gram → bench_id) posting list is BROADCAST; the
+    training side is scan → explode → map-side hash join → partial
+    agg. No shuffle carries document text, no all-pairs join anywhere.
+    Benchmarks too large to broadcast degrade gracefully: drop the
+    broadcast hint and the same plan runs as a shuffle join on the
+    k-gram key.
+    """
+    d = documents.select(
+        "doc_id", F.explode(_word_shingles(k)).alias("s")
+    )
+    b = benchmark.select(
+        "bench_id", F.explode(_word_shingles(k)).alias("s")
+    )
+    b_sizes = b.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    hits = (
+        d.join(F.broadcast(b), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        hits.join(F.broadcast(b_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(F.col("n_common") / F.col("n_bench"), 6).alias(
+                "overlap_ratio"
+            ),
+        )
+        .where(F.col("overlap_ratio") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(
     documents: DataFrame,
     num_hashes: int = 12,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from pyrdf2vec_spark.graph import SparkKG
+from pyrdf2vec_spark.session import release_local_checkpoint
 
 SAMPLERS = (
     "uniform",
@@ -179,6 +180,7 @@ def pagerank(
     # ×20 iters. tol>0 collects the L1 error every round anyway, so it
     # keeps the eager checkpoint (the collect materializes it).
     eager = tol > 0
+    stale: list[DataFrame] = []  # lazy mode: checkpoints awaiting release
     for _ in range(max_iter):
         contrib = (
             links.join(out_deg, "src")
@@ -225,11 +227,25 @@ def pagerank(
             # would strip the not-yet-materialized checkpoint's storage
             # level — every later reference (contrib + dangling read the
             # previous ranks TWICE per round) would then recompute its
-            # whole chain when the single final job runs.
-            ranks.unpersist()
+            # whole chain when the single final job runs — so lazy mode
+            # defers the release until after the single materializing job.
+            release_local_checkpoint(ranks)
+        else:
+            stale.append(ranks)
         ranks = new_ranks
         if err is not None and err < n * tol:
             break
+    if not eager and stale:
+        # materialize the whole lazy-checkpoint chain as the ONE job
+        # fixed-iteration mode promises, then release every superseded
+        # round's MEMORY_AND_DISK blocks (plus the seed persist, which
+        # is stale[0]) — without this, max_iter intermediate checkpoints
+        # linger until py4j GC, pressuring executor storage on large
+        # graphs / long-lived sessions. The final checkpoint stays
+        # persisted: it IS the result the caller's action reads.
+        ranks.count()
+        for df in stale:
+            release_local_checkpoint(df)
     out = id_map.join(ranks, "id").select("name", "rank")
     links.unpersist()
     out_deg.unpersist()

@@ -172,3 +172,30 @@ def hard_local_checkpoint(df):
                 stacklevel=2,
             )
         return ck
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the storage blocks behind a ``localCheckpoint()``-ed
+    DataFrame that will NEVER be read again.
+
+    ``DataFrame.unpersist`` only uncaches CacheManager entries (plans
+    registered via ``.persist()``); a local checkpoint's blocks live on
+    the underlying ``RDD[InternalRow]`` held by the plan's LogicalRDD
+    leaf and otherwise linger until py4j GC + ContextCleaner get to
+    them — measured: a 30-iteration pagerank leaves 30 checkpoint RDDs
+    persisted. This reaches through to that RDD and unpersists it
+    directly (non-blocking), then also calls the plain ``unpersist``
+    so CacheManager-persisted frames are handled by the same helper.
+
+    Only safe on superseded loop state: local checkpoints truncate
+    lineage, so a later access to the released DataFrame FAILS rather
+    than recomputes.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except (AttributeError, TypeError, Py4JError):
+        # not a LogicalRDD leaf (plain persisted frame) or a Spark
+        # build without the accessor — the unpersist below still
+        # handles the CacheManager case
+        pass
+    df.unpersist()

@@ -15,6 +15,7 @@ with Iceberg picks it up with zero code change.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_BUCKETS = 64
@@ -100,9 +101,14 @@ def upsert_triples(
         return
     try:
         existing = spark.read.parquet(path)
+    except AnalysisException:
+        # bootstrap: no table yet (PATH_NOT_FOUND / unreadable-as-table).
+        # Anything else (corrupt footer, permission error, concurrent
+        # overwrite) must propagate — silently skipping the anti-join
+        # would append duplicate triples with no error surfaced.
+        delta = new_triples
+    else:
         delta = new_triples.join(
             existing, ["subj", "pred", "obj"], "left_anti"
         )
-    except Exception:
-        delta = new_triples
     delta.write.mode("append").parquet(path)

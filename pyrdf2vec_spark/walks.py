@@ -610,6 +610,15 @@ def bfs_canonical_walks(
     ``seed_entities`` marks additional names kept verbatim at even
     positions (the reference's _entities set); ``is_reverse`` walks
     predecessor edges and prepends, root ends up last (random.py:71-73).
+
+    Caching contract: the tokenized edge table is cached per KG. With
+    ``seed_entities`` it is keyed by a fingerprint of the seed set, but
+    at most ONE seeded overlay per (md5 width, direction) stays
+    persisted — calling again with a different seed set evicts the
+    previous overlay, and a result DataFrame held from the earlier call
+    silently recomputes its |E|-row join if evaluated afterwards.
+    Materialize (persist + count, or write) a seeded result before
+    issuing a different-seed call if you need both live.
     """
     if md5_bytes is None:
         return bfs_walks(kg, entities, max_depth, is_reverse=is_reverse)
@@ -625,7 +634,31 @@ def bfs_canonical_walks(
     # repeated walker runs skip the |E|-row join + persist entirely.
     cache = _kg_walk_cache(kg)
     ekey = ("edges_tok", md5_bytes, hop_col)
-    built = cache.get(ekey) if seed_entities is None else None
+    skey = ("edges_tok_seeded", md5_bytes, hop_col)
+    built = seed_fpr = None
+    if seed_entities is None:
+        built = cache.get(ekey)
+    else:
+        # fingerprint the seed set (one tiny agg job) so repeat calls
+        # with the SAME seeds reuse the cached overlay instead of
+        # rebuilding the |E|-row join; a DIFFERENT seed set evicts the
+        # previous overlay (one-live-overlay contract, see docstring)
+        row = (
+            _seeds(seed_entities)
+            .agg(
+                F.count("*").alias("n"),
+                # decimal(38,0): a bigint sum of 64-bit hashes overflows
+                # under ANSI; decimal is exact and order-independent
+                F.sum(F.xxhash64("entity").cast("decimal(38,0)")).alias(
+                    "h"
+                ),
+            )
+            .first()
+        )
+        seed_fpr = (row["n"], None if row["h"] is None else int(row["h"]))
+        prev = cache.get(skey)
+        if prev is not None and prev[1] == seed_fpr:
+            built = prev[0]
     if built is None:
         built = (
             kg.edges.join(toks.withColumnRenamed("name", hop_col), hop_col)
@@ -641,16 +674,16 @@ def bfs_canonical_walks(
         if seed_entities is None:
             cache[ekey] = built
         else:
-            # seed overlays depend on the (uncacheable-by-key) seed set:
-            # keep at most ONE live overlay per (width, direction) —
-            # unpersisting the previous call's table (lineage recomputes
-            # it if a stale result DataFrame is still evaluated later)
-            # instead of accumulating an |E|-row persist per call
-            skey = ("edges_tok_seeded", md5_bytes, hop_col)
+            # seed overlays are keyed by the seed-set fingerprint but
+            # the cache keeps at most ONE live overlay per (width,
+            # direction) — the previous (different-seed) table is
+            # unpersisted here (lineage recomputes it if a stale result
+            # DataFrame is still evaluated later) instead of
+            # accumulating an |E|-row persist per distinct seed set
             prev = cache.get(skey)
             if prev is not None:
-                prev.unpersist()
-            cache[skey] = built
+                prev[0].unpersist()
+            cache[skey] = (built, seed_fpr)
     edges_tok = _edge_side(kg, built)
     root_tok = (
         F.col("entity")
@@ -1425,7 +1458,7 @@ def community_labels(kg: SparkKG, iterations: int = 5) -> DataFrame:
 
 def louvain_labels(
     kg: SparkKG, sweeps: int = 8, max_levels: int = 4,
-    verbose: bool = False,
+    verbose: bool = False, dampen: bool = False,
 ) -> DataFrame:
     """Distributed Louvain over the undirected entity graph — the
     fidelity-first alternative to :func:`community_labels` for the
@@ -1465,6 +1498,16 @@ def louvain_labels(
     Measured vs a pure-Python Louvain oracle
     (tests/test_community_quality.py): ≥ 0.9× modularity on noisy
     planted-partition graphs where LPA floods to modularity 0.
+
+    ``dampen=True`` (OFF by default — it can change label assignments,
+    so the stored exact-label regression fixture pins the default
+    path) arms a chase-cycle dampener: when the same parity class
+    repeats the same nonzero move count — the lockstep-cycle signature
+    parity gating alone can't break — subsequent half-sweeps freeze a
+    per-sweep-varying deterministic quarter of the movers. Trigger-
+    gated so cleanly-converging levels are untouched (always-on
+    freezing measured slightly worse on one noisy grid); measured ≥
+    the undampened modularity on the noisy planted grids.
     """
     nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
     edges = (
@@ -1511,6 +1554,8 @@ def louvain_labels(
         )
         link = edges.where(F.col("a") != F.col("b"))  # self-loops ≠ links
         settled = 0  # consecutive zero-move half-sweeps (one per parity)
+        damp_on = False  # dampener engages only on a cycle signature
+        last_moved: dict[int, int] = {}  # parity -> previous moved count
         for sweep in range(sweeps):
             if verbose:
                 t_sw = _t.time()
@@ -1574,6 +1619,26 @@ def louvain_labels(
             )
             # parity gate: only one id-parity class moves per half-sweep
             eligible = F.pmod(F.col("id"), F.lit(2)) == F.lit(sweep % 2)
+            if dampen and damp_on:
+                # chase-cycle dampener (OFF by default — engaging it
+                # can change label assignments, which would invalidate
+                # the stored exact-label fixture): once a cycle
+                # signature is detected (below), freeze a deterministic
+                # pseudo-random quarter of each half-sweep's movers,
+                # re-drawn per sweep from hash(id, sweep). Rings of
+                # communities chasing each other (the bounded
+                # deep-level 14/4 move oscillation the sweep budget
+                # otherwise absorbs) need every member to move in
+                # lockstep; a per-sweep-varying freeze breaks the
+                # lockstep while still letting every genuine move land
+                # within a few sweeps. Trigger-gated on purpose:
+                # always-on freezing measured slightly WORSE modularity
+                # on the (4,12,0.6,0.20) noisy grid (0.2711 vs 0.2743)
+                # while cleanly-converging levels never need it.
+                eligible = eligible & (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(sweep)), F.lit(4))
+                    != F.lit(0)
+                )
             stepped = hard_local_checkpoint(
                 labels.join(picked, "id", "left").select(
                     "id",
@@ -1613,10 +1678,27 @@ def louvain_labels(
                 )
             if moved == 0:
                 settled += 1
-                if settled >= 2:
+                # under an ENGAGED dampener a zero-move half-sweep can
+                # mean "movers were frozen", not "converged" — demand
+                # one extra quiet half-sweep before exiting
+                if settled >= (3 if damp_on else 2):
                     break
             else:
                 settled = 0
+            if dampen and not damp_on:
+                # cycle signature: the same parity class moved the same
+                # nonzero count twice running — the lockstep chase that
+                # parity gating alone can't break
+                par = sweep % 2
+                if moved > 0 and last_moved.get(par) == moved:
+                    damp_on = True
+                    if verbose:
+                        print(
+                            f"louvain level={_level} sweep={sweep} "
+                            f"dampener engaged (moved={moved} repeated)",
+                            flush=True,
+                        )
+                last_moved[par] = moved
         if verbose:
             import time as _t
 

@@ -264,6 +264,36 @@ class TestDistributedLouvain:
         p2 = _spark_partition(spark, edges, louvain_labels)
         assert p1 == p2
 
+    def test_dampener_noop_without_cycle_and_improves_with(self, spark):
+        # VERDICT r5 #7 — chase-cycle dampener, OFF by default, trigger-
+        # gated on the cycle signature (same parity class repeats the
+        # same nonzero move count). Two regimes, one planted A/B:
+        # (a) a grid that converges cleanly never trips the trigger →
+        #     dampen=True is byte-identical to the default (the stored
+        #     exact-label fixture stays valid for both settings here);
+        # (b) a long-budget run on a noisier grid where the trigger
+        #     measured as firing (sweep 20, moved=3 repeated) →
+        #     modularity must be ≥ the undampened run (measured
+        #     0.1266 vs 0.1195) and deterministic.
+        clean = noisy_planted(3, 10, 0.6, 0.15, 5)
+        assert _spark_partition(
+            spark, clean, louvain_labels, dampen=True
+        ) == _spark_partition(spark, clean, louvain_labels)
+
+        noisy = noisy_planted(5, 14, 0.5, 0.3, 11)
+        adj = _undirected(noisy)
+        p_plain = _spark_partition(spark, noisy, louvain_labels, sweeps=24)
+        q_plain = _modularity(adj, {u: p_plain[u] for u in adj})
+        p_damp = _spark_partition(
+            spark, noisy, louvain_labels, sweeps=24, dampen=True
+        )
+        q_damp = _modularity(adj, {u: p_damp[u] for u in adj})
+        assert q_damp >= q_plain - 1e-9, (q_damp, q_plain)
+        p_damp2 = _spark_partition(
+            spark, noisy, louvain_labels, sweeps=24, dampen=True
+        )
+        assert p_damp == p_damp2
+
     def test_stored_fixture_labels(self, spark):
         # EXACT label regression on noisy_planted(3,10,0.6,0.15,5):
         # the implementation is fully deterministic (integer gains,

@@ -200,3 +200,70 @@ class TestExactDedup:
             (r["n_dups"], r["keep_id"]) for r in exact_dedup(docs).collect()
         }
         assert got == {(2, 1), (1, 3)}
+
+
+class TestDecontaminate:
+    def test_planted_leak_and_partial_overlap(self, spark):
+        from pyrdf2vec_spark.functions.dedup import decontaminate
+
+        # bench b1 fully contained in doc 1 (plus extra words — the
+        # benchmark-relative ratio must still read 1.0); bench b2
+        # half-overlaps doc 2; doc 3 is disjoint
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta"),
+                (2, "one two three four nine ten eleven twelve"),
+                (3, "completely different words here entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (101, "alpha beta gamma delta epsilon"),
+                (102, "one two three four five six seven eight"),
+            ],
+            "bench_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["bench_id"]): r["overlap_ratio"]
+            for r in decontaminate(docs, bench, k=3, threshold=0.3).collect()
+        }
+        # b1: 3 trigrams, all present in doc 1 → 1.0
+        assert got[(1, 101)] == pytest.approx(1.0)
+        # b2: 6 trigrams; doc 2 shares exactly "one two three",
+        # "two three four" → 2/6
+        assert got[(2, 102)] == pytest.approx(round(2 / 6, 6))
+        # disjoint doc and sub-threshold pairs emit nothing
+        assert set(got) == {(1, 101), (2, 102)}
+
+    def test_threshold_filters(self, spark):
+        from pyrdf2vec_spark.functions.dedup import decontaminate
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four nine ten eleven twelve")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(101, "one two three four five six seven eight")],
+            "bench_id long, text string",
+        )
+        assert (
+            decontaminate(docs, bench, k=3, threshold=0.5).count() == 0
+        )
+
+    def test_short_text_single_shingle(self, spark):
+        # texts shorter than k collapse to one whole-text shingle
+        # (the _word_shingles greatest(1, ...) rule) — exact equality
+        # still reads as full contamination
+        from pyrdf2vec_spark.functions.dedup import decontaminate
+
+        docs = spark.createDataFrame(
+            [(1, "tiny text")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(201, "tiny text")], "bench_id long, text string"
+        )
+        rows = decontaminate(docs, bench, k=5, threshold=0.9).collect()
+        assert [(r["doc_id"], r["bench_id"], r["overlap_ratio"]) for r in rows] == [
+            (1, 201, 1.0)
+        ]

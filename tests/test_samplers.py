@@ -136,6 +136,30 @@ class TestPageRank:
         got = pagerank(kg_loop, alpha=0.85)
         assert all(r["rank"] <= 0.85 for r in got.collect())
 
+    def test_lazy_mode_releases_intermediate_checkpoints(self, kg_loop, spark):
+        # tol=0 runs max_iter lazy localCheckpoints; superseded rounds'
+        # blocks must be released after the single materializing job
+        # (DataFrame.unpersist alone is a CacheManager no-op for
+        # checkpoint RDDs — session.release_local_checkpoint reaches
+        # the LogicalRDD leaf). Budget: edges + final checkpoint + one
+        # transient, NOT one block per iteration.
+        import time
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        got = pagerank(kg_loop, max_iter=25, tol=0.0)
+        assert got.count() == 4
+        # the releases are non-blocking unpersists — poll briefly so a
+        # loaded suite run doesn't read entries mid-removal
+        deadline = time.time() + 30
+        after = jsc.getPersistentRDDs().size()
+        while after - before > 3 and time.time() < deadline:
+            time.sleep(0.5)
+            after = jsc.getPersistentRDDs().size()
+        assert after - before <= 3, (
+            f"lazy pagerank leaked checkpoint blocks: {before} -> {after}"
+        )
+
     def test_pagerank_edge_weights(self, kg_loop):
         w = wmap(edge_weights(kg_loop, "pagerank"))
         assert len(w) == 4

@@ -114,21 +114,33 @@ class TestIcebergBranch:
         reason="no Iceberg runtime jar in this sandbox (offline); "
         "activates on clusters that ship one",
     )
-    def test_iceberg_roundtrip_and_merge(self, triples, tmp_path):
-        # full MERGE INTO semantics — runs only where the jar exists
+    def test_iceberg_roundtrip_and_merge(self, tmp_path):
+        # full MERGE INTO semantics — needs a session LAUNCHED with an
+        # Iceberg catalog. Catalog confs are startup-only: a second
+        # builder.getOrCreate() here would silently return the running
+        # catalog-less fixture session (configs ignored), the triples
+        # would carry that session, and write_table would take the
+        # parquet branch while read_table tried spark.table() — i.e.
+        # the test would fail exactly where it was meant to activate.
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[2]")
-            .config(
-                "spark.sql.catalog.ice",
-                "org.apache.iceberg.spark.SparkCatalog",
+        spark = SparkSession.getActiveSession()
+        if spark is None or iceberg_catalog(spark) is None:
+            pytest.skip(
+                "Iceberg jar present but session lacks a catalog; run "
+                "under spark-submit --conf spark.sql.catalog.ice="
+                "org.apache.iceberg.spark.SparkCatalog "
+                "--conf spark.sql.catalog.ice.type=hadoop "
+                "--conf spark.sql.catalog.ice.warehouse=<dir>"
             )
-            .config("spark.sql.catalog.ice.type", "hadoop")
-            .config("spark.sql.catalog.ice.warehouse", str(tmp_path))
-            .getOrCreate()
+        # build the triples FROM the catalog-configured session so
+        # write_table/upsert_triples (which use df.sparkSession) hit
+        # the Iceberg branch
+        t = spark.createDataFrame(
+            [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")],
+            "subj string, pred string, obj string",
         )
-        t = triples
         write_table(t, "edges", str(tmp_path), partition_col="subj")
+        # MERGE INTO: re-upserting the same rows must not duplicate
         upsert_triples(t, "edges", str(tmp_path))
         assert read_table(spark, "edges", str(tmp_path)).count() == 3

@@ -181,6 +181,47 @@ class TestCanonicalize:
         )
         assert fused == composed
 
+    def test_seeded_overlay_cache_reuse_and_eviction(
+        self, kg_loop, roots, spark
+    ):
+        # one-live-overlay contract (bfs_canonical_walks docstring):
+        # same seed set → cached overlay reused; different seed set →
+        # previous overlay evicted, result still correct
+        from pyrdf2vec_spark.walks import _kg_walk_cache
+
+        seeds_a = spark.createDataFrame([(uri("Dean"),)], "name string")
+        seeds_b = spark.createDataFrame([(uri("Bob"),)], "name string")
+        r1 = walks_set(
+            bfs_canonical_walks(
+                kg_loop, roots, 2, md5_bytes=8, keep_root=True,
+                seed_entities=seeds_a,
+            )
+        )
+        cache = _kg_walk_cache(kg_loop)
+        first = cache[("edges_tok_seeded", 8, "dst")][0]
+        r2 = walks_set(
+            bfs_canonical_walks(
+                kg_loop, roots, 2, md5_bytes=8, keep_root=True,
+                seed_entities=seeds_a,
+            )
+        )
+        assert cache[("edges_tok_seeded", 8, "dst")][0] is first
+        assert r2 == r1
+        r3 = walks_set(
+            bfs_canonical_walks(
+                kg_loop, roots, 2, md5_bytes=8, keep_root=True,
+                seed_entities=seeds_b,
+            )
+        )
+        assert cache[("edges_tok_seeded", 8, "dst")][0] is not first
+        composed = walks_set(
+            canonicalize_walks(
+                bfs_walks(kg_loop, roots, 2), [uri("Bob")], 8,
+                keep_root=True,
+            )
+        )
+        assert r3 == composed
+
     def test_hash_prefix_invariant(self, kg_chain, roots):
         # tests/walkers/test_random.py:110-113 — hashed objects repr
         got = canonicalize_walks(bfs_walks(kg_chain, roots, 2), [], 8).collect()
@@ -620,6 +661,85 @@ class TestCommunity:
             )
         )
         assert got == {("B", ("C", "r", "A", "p", "B"))}
+
+    @staticmethod
+    def _walk_invariants(walks, pred_set, edge_set, max_depth):
+        # structural invariants + a teleport-fraction estimate: a step
+        # (v, p, o) that is not a KG edge can only come from a teleport
+        # replacement (slight UNDERcount — a drawn member can happen to
+        # reconstruct a real edge — which biases both hash tiers the
+        # same way, so the cross-tier comparison stays fair)
+        n_steps = n_tele = 0
+        for _ent, w in walks:
+            assert len(w) % 2 == 1 and 1 <= len(w) <= 2 * max_depth + 1
+            for i in range(1, len(w), 2):
+                assert w[i] in pred_set, f"odd slot not a predicate: {w}"
+            for i in range(0, len(w) - 2, 2):
+                n_steps += 1
+                if (w[i], w[i + 1], w[i + 2]) not in edge_set:
+                    n_tele += 1
+        return n_steps, (n_tele / n_steps if n_steps else 0.0)
+
+    def test_default_hash_tier_matches_portable_invariants_fixtures(
+        self, kg_loop, kg_chain, roots
+    ):
+        # VERDICT r5 #6: the driver oracle certifies the md5
+        # (portable_hash) tier; pin the default xxhash64 hot path to the
+        # same structural invariants on LOOP/CHAIN so it can't drift
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        for kg in (kg_loop, kg_chain):
+            preds = {r["pred"] for r in kg.edges.select("pred").collect()}
+            edges = {
+                (r["src"], r["pred"], r["dst"]) for r in kg.edges.collect()
+            }
+            for portable in (False, True):
+                got = walks_set(
+                    community_sampled_walks(
+                        kg, roots, 3, 8, hop_prob=0.15, seed=11,
+                        portable_hash=portable,
+                    )
+                )
+                assert got
+                self._walk_invariants(got, preds, edges, 3)
+
+    def test_default_hash_tier_teleport_fraction_tpch(self, spark):
+        # ...and on a TPC-H slice, where the walk space is wide enough
+        # for a distribution check: teleport fraction ≈ hop_prob on BOTH
+        # tiers, and the two tiers close to each other
+        from pyrdf2vec_spark.graph import SparkKG
+        from pyrdf2vec_spark.sources.tpch_graph import (
+            load_tables,
+            tpch_triples,
+        )
+        from pyrdf2vec_spark.walks import community_sampled_walks
+
+        kg = SparkKG(tpch_triples(load_tables(spark, "/root/testdata/sf0.001")))
+        # order vertices: out-degree > 1 (customers have exactly one
+        # out-edge, which collapses the 8 walk slots to one under dedup)
+        seeds = (
+            kg.entity_names()
+            .where(F.col("name").startswith("o:"))
+            .limit(100)
+        )
+        preds = {r["pred"] for r in kg.edges.select("pred").distinct().collect()}
+        edges = {(r["src"], r["pred"], r["dst"]) for r in kg.edges.collect()}
+        hop_prob, fracs = 0.15, {}
+        for portable in (False, True):
+            got = walks_set(
+                community_sampled_walks(
+                    kg, seeds, 3, 8, hop_prob=hop_prob, seed=5,
+                    portable_hash=portable,
+                )
+            )
+            n_steps, frac = self._walk_invariants(got, preds, edges, 3)
+            assert n_steps > 400, "slice too small for a fraction test"
+            fracs[portable] = frac
+            assert abs(frac - hop_prob) <= 0.05, (
+                f"tier portable={portable}: teleport fraction {frac:.3f} "
+                f"vs hop_prob {hop_prob}"
+            )
+        assert abs(fracs[False] - fracs[True]) <= 0.06
 
 
 # ---------------------------------------------------------------------------
