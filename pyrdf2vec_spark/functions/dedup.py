@@ -160,6 +160,16 @@ def minhash_dedup_pairs(
     from pyrdf2vec_spark.canon import lsh_pairs
 
     docs = documents.groupBy("text").agg(F.min("doc_id").alias("name"))
+    # pin the explode's parallelism: the representative-agg exchange is
+    # small (ids + texts), so AQE coalesces it — to ONE partition at
+    # sf0.1 — and the most CPU-expensive map work in the whole pipeline
+    # (per-text shingle transform + md5) then serializes on a single
+    # core (measured: a 4-7 s single-task stage; the r4 text-keyed
+    # pipeline's equivalent stage ran 32-way). An explicit-N
+    # repartition is the one shuffle origin AQE never coalesces.
+    docs = docs.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "name"
+    )
     word_hashes = (
         docs.select(
             "name",

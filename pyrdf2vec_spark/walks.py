@@ -55,6 +55,24 @@ def _edge_side(kg: SparkKG, df: DataFrame) -> DataFrame:
     return df.hint("merge")
 
 
+def _prepartition_edge_table(kg: SparkKG, df: DataFrame, key: str) -> DataFrame:
+    """Above the broadcast limit every BFS depth runs a sort-merge join
+    on the frontier key — pre-partition AND pre-sort the (about to be
+    cached) edge table on that key so each per-depth join exchanges
+    (and sorts) ONLY the frontier: one |E| shuffle at build time buys
+    max_depth edge-side exchanges. This is the co-partitioned shape a
+    bucket-by-src storage table (storage.materialize_kg) hands a real
+    cluster straight off the scan; in-memory the repartition stands in
+    for the bucketed read. Below the limit the edge side broadcasts,
+    so the extra shuffle would be pure cost — passthrough."""
+    try:
+        if kg.edge_count() <= BROADCAST_EDGE_LIMIT:
+            return df
+    except Exception:
+        return df
+    return df.repartition(F.col(key)).sortWithinPartitions(key)
+
+
 def _seeds(entities: DataFrame) -> DataFrame:
     return entities.select(F.col(entities.columns[0]).alias("entity")).distinct()
 
@@ -669,8 +687,10 @@ def bfs_canonical_walks(
                 F.xxhash64("dst").alias("dst_id"),
                 "hop_tok",
             )
-            .persist()
         )
+        built = _prepartition_edge_table(
+            kg, built, "dst_id" if is_reverse else "src_id"
+        ).persist()
         if seed_entities is None:
             cache[ekey] = built
         else:
@@ -868,15 +888,18 @@ def bfs_encoded_walks(
     )
     edges_tok = _edge_side(
         kg,
-        e.join(hop_map.withColumnRenamed("name", "dst"), "dst")
-        .join(pred_tid, "pred")
-        .select(
-            F.xxhash64("src").alias("src_id"),
-            F.xxhash64("dst").alias("dst_id"),
-            "hop_tid",
-            "pred_tid",
-        )
-        .persist(),
+        _prepartition_edge_table(
+            kg,
+            e.join(hop_map.withColumnRenamed("name", "dst"), "dst")
+            .join(pred_tid, "pred")
+            .select(
+                F.xxhash64("src").alias("src_id"),
+                F.xxhash64("dst").alias("dst_id"),
+                "hop_tid",
+                "pred_tid",
+            ),
+            "src_id",
+        ).persist(),
     )
     seeds = seeds_j.join(
         tail.select(F.col("token").alias("entity"),

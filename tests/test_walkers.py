@@ -181,6 +181,50 @@ class TestCanonicalize:
         )
         assert fused == composed
 
+    def test_prepartitioned_edge_side_above_broadcast_limit(
+        self, spark, monkeypatch
+    ):
+        # above BROADCAST_EDGE_LIMIT the cached edge table is
+        # repartitioned+sorted on the frontier key so per-depth SMJs
+        # exchange only the frontier; force that path on the fixtures
+        # and pin result equality (fwd and reverse) vs the composition
+        import pyrdf2vec_spark.walks as wmod
+        from pyrdf2vec_spark.graph import SparkKG
+        from tests.conftest import LOOP
+
+        monkeypatch.setattr(wmod, "BROADCAST_EDGE_LIMIT", 0)
+        # fresh KG: the per-KG walk cache must not serve a table built
+        # under the default (broadcast) layout
+        kg = SparkKG(
+            spark.createDataFrame(
+                LOOP, "subj string, pred string, obj string"
+            )
+        )
+        roots = spark.createDataFrame(
+            [(r,) for r in ROOTS], "name string"
+        )
+        fused = walks_set(
+            bfs_canonical_walks(kg, roots, 2, md5_bytes=8, keep_root=True)
+        )
+        composed = walks_set(
+            canonicalize_walks(
+                bfs_walks(kg, roots, 2), [], 8, keep_root=True
+            )
+        )
+        assert fused == composed
+        rev = walks_set(
+            bfs_canonical_walks(
+                kg, roots, 2, md5_bytes=8, keep_root=True, is_reverse=True
+            )
+        )
+        rev_composed = walks_set(
+            canonicalize_walks(
+                bfs_walks(kg, roots, 2, is_reverse=True), [], 8,
+                keep_root=True,
+            )
+        )
+        assert rev == rev_composed
+
     def test_seeded_overlay_cache_reuse_and_eviction(
         self, kg_loop, roots, spark
     ):
