@@ -10,7 +10,11 @@ expressed as Spark DataFrame programs optimized by Catalyst/AQE.
 
 from pyrdf2vec_spark.session import get_spark
 from pyrdf2vec_spark.graph import SparkKG, read_entities_tsv, triples_from_nt
-from pyrdf2vec_spark.storage import materialize_kg, upsert_triples
+from pyrdf2vec_spark.storage import (
+    materialize_kg,
+    upsert_triples,
+    write_bucketed_edge_ids,
+)
 from pyrdf2vec_spark.pipeline import RDF2VecPipeline
 from pyrdf2vec_spark.embed import SparkFastText, SparkWord2Vec
 from pyrdf2vec_spark.walks import (
@@ -47,6 +51,7 @@ __all__ = [
     "triples_from_nt",
     "read_entities_tsv",
     "materialize_kg",
+    "write_bucketed_edge_ids",
     "upsert_triples",
     "__version__",
 ]

@@ -84,6 +84,47 @@ def materialize_kg(kg, base_path: str, buckets: int = DEFAULT_BUCKETS) -> None:
     )
 
 
+def write_bucketed_edge_ids(
+    kg,
+    path: str,
+    table: str = "kg_edge_ids",
+    buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    """Materialize the walk-ready edge table — (src_id, pred, dst_id,
+    src, dst) with ``*_id = xxhash64(name)``, the exact join layout the
+    BFS frontier loops consume — as a Spark BUCKETED table, bucketed +
+    sorted by ``src_id``.
+
+    A bucketed scan reports hashpartitioning(src_id, buckets), so every
+    per-depth frontier join reads the edge side CO-PARTITIONED straight
+    off storage: zero edge-side exchange, zero edge-side sort, at every
+    depth of every walk job that ever runs against the graph (the
+    in-memory ``walks._prepartition_edge_table`` buys the same shape
+    for one session; this buys it for the cluster's lifetime). On
+    Iceberg the equivalent is a bucket(src_id) partition spec plus
+    storage-partitioned joins.
+
+    Returns the table name to read back via ``spark.table``.
+    """
+    spark = kg.edges.sparkSession
+    df = kg.edges.select(
+        F.xxhash64("src").alias("src_id"),
+        "pred",
+        F.xxhash64("dst").alias("dst_id"),
+        "src",
+        "dst",
+    )
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "src_id")
+        .sortBy("src_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table
+
+
 def upsert_triples(
     new_triples: DataFrame, name: str, path: str
 ) -> None:

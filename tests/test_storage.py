@@ -144,3 +144,36 @@ class TestIcebergBranch:
         # MERGE INTO: re-upserting the same rows must not duplicate
         upsert_triples(t, "edges", str(tmp_path))
         assert read_table(spark, "edges", str(tmp_path)).count() == 3
+
+
+class TestBucketedEdgeIds:
+    def test_bucketed_scan_joins_without_edge_exchange(self, spark, tmp_path):
+        # the walk-ready edge layout read CO-PARTITIONED off storage:
+        # a frontier join against the bucketed table must not exchange
+        # (or re-sort) the edge side — only the frontier shuffles
+        from pyrdf2vec_spark.graph import SparkKG
+        from pyrdf2vec_spark.storage import write_bucketed_edge_ids
+
+        t = spark.createDataFrame(
+            [(f"v{i}", "p", f"v{(i * 7) % 50}") for i in range(200)],
+            "subj string, pred string, obj string",
+        )
+        kg = SparkKG(t)
+        name = write_bucketed_edge_ids(
+            kg, str(tmp_path / "eids"), table="kg_eids_test", buckets=8
+        )
+        try:
+            edges = spark.table(name)
+            assert edges.count() == kg.edges.count()
+            frontier = kg.entity_names().select(
+                F.xxhash64("name").alias("cur")
+            )
+            j = frontier.join(
+                edges.hint("merge"), frontier["cur"] == edges["src_id"]
+            )
+            j.count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(src_id" not in plan, plan
+            assert "Exchange hashpartitioning(cur" in plan, plan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
