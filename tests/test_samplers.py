@@ -146,19 +146,34 @@ class TestPageRank:
         import time
 
         jsc = spark.sparkContext._jsc.sc()
-        before = jsc.getPersistentRDDs().size()
+
+        def rdd_ids():
+            it = jsc.getPersistentRDDs().keysIterator()
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        before = rdd_ids()
         got = pagerank(kg_loop, max_iter=25, tol=0.0)
-        assert got.count() == 4
+        assert got.count() == 3  # LOOP has vertices Alice/Bob/Dean
         # the releases are non-blocking unpersists — poll briefly so a
         # loaded suite run doesn't read entries mid-removal
         deadline = time.time() + 30
-        after = jsc.getPersistentRDDs().size()
-        while after - before > 3 and time.time() < deadline:
+        leaked = rdd_ids() - before
+        while len(leaked) > 3 and time.time() < deadline:
             time.sleep(0.5)
-            after = jsc.getPersistentRDDs().size()
-        assert after - before <= 3, (
-            f"lazy pagerank leaked checkpoint blocks: {before} -> {after}"
-        )
+            leaked = rdd_ids() - before
+        if len(leaked) > 3:
+            info = {
+                i.id(): (i.name(), i.numCachedPartitions())
+                for i in jsc.getRDDStorageInfo()
+                if i.id() in leaked
+            }
+            raise AssertionError(
+                f"lazy pagerank leaked checkpoint blocks: {sorted(leaked)} "
+                f"storage={info}"
+            )
 
     def test_pagerank_edge_weights(self, kg_loop):
         w = wmap(edge_weights(kg_loop, "pagerank"))
