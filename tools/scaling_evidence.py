@@ -193,6 +193,106 @@ def _r5_section(r5):
     return "\n".join(w_out)
 
 
+def _r6_section(r5, r6):
+    """Round-6: ladder B re-run with the co-partitioned edge table
+    (walks pre-partition + bucketed storage layout) and the q6 AQE
+    single-partition fix; ceilings re-calibrated in the same window."""
+    w_out = []
+    w = w_out.append
+
+    def b(runs, tag, sink="count"):
+        sel = [
+            r for r in runs
+            if r.get("tag") == tag and r.get("sink", "count") == sink
+            and "error" not in r
+        ]
+        if not sel:
+            return None
+        bst = dict(min(sel, key=lambda r: r["wall_sec"]))
+        bst["all_wall"] = sorted(r["wall_sec"] for r in sel)
+        return bst
+
+    calib = {r["tag"]: r for r in r6 if r.get("calib") == "sha2"}
+    w("## Round-6: co-partitioned edge reads (ladder B re-run)\n")
+    w(
+        "Round 6 pre-partitions + pre-sorts the cached BFS edge table on\n"
+        "the frontier join key (above the broadcast limit), so every\n"
+        "per-depth sort-merge join exchanges ONLY the frontier — the\n"
+        "in-memory analogue of the new bucketed storage layout\n"
+        "(`storage.write_bucketed_edge_ids`, plan-asserted: zero\n"
+        "edge-side exchange). Ladder B re-run, same geometry and input\n"
+        "as round 5 (240k convs, 2.4M turns, interleaved arms):\n"
+    )
+    rows = []
+    for sink in ("count", "write"):
+        sfx = "w" if sink == "write" else ""
+        lo, hi = b(r6, "r6b1" + sfx, sink), b(r6, "r6b4" + sfx, sink)
+        lo5, hi5 = b(r5, "r5b1" + sfx, sink), b(r5, "r5b4" + sfx, sink)
+        if lo and hi:
+            rows.append((sink, lo, hi, lo5, hi5))
+    w("| sink | walks lo (s) r5→r6 | walks hi (s) r5→r6 | eff walks r5→r6 "
+      "| eff extract | eff total |")
+    w("|---|---|---|---|---|---|")
+    for sink, lo, hi, lo5, hi5 in rows:
+        e6 = eff(lo, hi, "walks_sec")
+        e5 = eff(lo5, hi5, "walks_sec") if lo5 and hi5 else None
+        w(
+            f"| {sink} | {lo5['walks_sec'] if lo5 else '—'} → "
+            f"{lo['walks_sec']} | {hi5['walks_sec'] if hi5 else '—'} → "
+            f"{hi['walks_sec']} | {e5} → {e6} "
+            f"| {eff(lo, hi, 'extract_sec')} | {eff(lo, hi, 'wall_sec')} |"
+        )
+    cl, ch = calib.get("r6calib_b1"), calib.get("r6calib_b4")
+    if cl and ch:
+        ceiling = round(cl["wall_sec"] / ch["wall_sec"] / 4, 2)
+        w(
+            f"| **sha2 ceiling (r6 window)** | — | — | — | — | "
+            f"**{ceiling}** |"
+        )
+    w(
+        "\n**Reading**: the lever sped BOTH arms in absolute terms —\n"
+        "1×2 walks 37.3 → 29.4 s (−21%), 4×2 21.5 → 18.6 s (−13%),\n"
+        "write-sink 69.9 → 54.9 / 35.6 → 32.6 — and the 2-core arm\n"
+        "gained more (one |E| exchange per depth removed matters most\n"
+        "where bandwidth is scarcest). Because the 8-core arm stays\n"
+        "pinned against the shared-bus cap, the 2c/8c RATIO moves little\n"
+        "(count 0.43 → ~0.40 vs a 0.58 same-window ceiling): the\n"
+        "instrument-ceiling story of rounds 4-5, reproduced a third\n"
+        "time — one-box efficiency falls as absolute walls improve. On a\n"
+        "real 4N cluster the removed exchange is removed NETWORK bytes,\n"
+        "which the one-box proxy cannot credit.\n"
+    )
+    w(
+        "### Round-6 headline-bench notes (sf0.1, local[32], "
+        "BENCH/bench_r6_local_*.json)\n\n"
+        "- **Headline 96.5 → 58.0 s** (best sequenced quiet-window run;\n"
+        "  sum of per-query min-of-4 ≈ 56.8 s).\n"
+        "- **q6 minhash 9.99 → 1.87 s — the r5 'unexplained residual'\n"
+        "  is named and fixed**: job-level decomposition\n"
+        "  (tools/q6_decompose.py) showed AQE coalescing the small\n"
+        "  representative-agg exchange to ONE partition, serializing\n"
+        "  the per-text shingle explode + md5 on a single core (a 4-7 s\n"
+        "  numTasks=1 stage). An explicit-N repartition before the\n"
+        "  explode restores 32-way parallelism; the id-keyed pipeline\n"
+        "  is now FASTER than the r4 text-keyed one locally too\n"
+        "  (2.4 vs 3.7 s interleaved), on top of its at-scale\n"
+        "  shuffle-byte win.\n"
+        "- **q2 BFS 8.18 → 3.34 s** (warm edge cache + co-partitioned\n"
+        "  edge table), **q8 encoded write 10.29 → 9.29 s**.\n"
+        "- **q5 pagerank 34.9 → 23.5 s min-of-4** (both runs carried\n"
+        "  ambient load per the new per-rep tags: load1 9-20 during\n"
+        "  run 1). The lazy-checkpoint chain now also RELEASES its\n"
+        "  superseded per-round blocks (session.release_local_checkpoint\n"
+        "  — plain unpersist is a CacheManager no-op for checkpoint\n"
+        "  RDDs), adding one cheap internal materialization.\n"
+        "- Every bench line is min-of-2 inside a run (q1 included, new\n"
+        "  this round) and every rep carries (canary, load1_pre,\n"
+        "  load1_post) ambient tags — bursts are now attributable\n"
+        "  per-rep instead of per-run.\n"
+    )
+    return "\n".join(w_out)
+
+
 def main():
     r3_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "BENCH", "scalruns.jsonl"
@@ -211,7 +311,7 @@ def main():
 
     out = []
     w = out.append
-    w("# BENCH / BASELINE — scaling evidence (rounds 3-5)\n")
+    w("# BENCH / BASELINE — scaling evidence (rounds 3-6)\n")
     w(
         "North-rule criterion: throughput scaling efficiency ≥ 0.8 from N\n"
         "to 4N executors. No multi-node cluster exists in this sandbox, so\n"
@@ -349,6 +449,11 @@ def main():
 
     if r5:
         w(_r5_section(r5))
+
+    r6_path = os.path.join(REPO, "BENCH", "scalruns_r6.jsonl")
+    r6 = load(r6_path) if os.path.exists(r6_path) else []
+    if r6:
+        w(_r6_section(r5, r6))
 
     w(
         "## Analysis\n\n"
