@@ -235,18 +235,22 @@ def pagerank(
         ranks = new_ranks
         if err is not None and err < n * tol:
             break
+    out = id_map.join(ranks, "id").select("name", "rank")
     if not eager and stale:
-        # materialize the whole lazy-checkpoint chain as the ONE job
-        # fixed-iteration mode promises, then release every superseded
-        # round's MEMORY_AND_DISK blocks (plus the seed persist, which
-        # is stale[0]) — without this, max_iter intermediate checkpoints
-        # linger until py4j GC, pressuring executor storage on large
-        # graphs / long-lived sessions. The final checkpoint stays
-        # persisted: it IS the result the caller's action reads.
-        ranks.count()
+        # materialize the FULL result as the ONE job fixed-iteration
+        # mode promises (materializing just `ranks` instead measured
+        # ~6 s slower at sf0.1: it serializes the id_map subtree that
+        # a single job schedules in parallel with the rank chain), then
+        # release every superseded round's MEMORY_AND_DISK blocks (plus
+        # the seed persist, stale[0]) — without this, max_iter
+        # intermediate checkpoints linger until py4j GC, pressuring
+        # executor storage on large graphs / long-lived sessions. The
+        # final checkpoint stays persisted (the persisted result's
+        # recompute path reads it); both are |V|-row tables.
+        out = out.persist()
+        out.count()
         for df in stale:
             release_local_checkpoint(df)
-    out = id_map.join(ranks, "id").select("name", "rank")
     links.unpersist()
     out_deg.unpersist()
     nodes.unpersist()
