@@ -226,8 +226,12 @@ def sampled_walks(
     # pin the edge-side strategy exactly like the BFS frontier joins
     # (_edge_side): without it AQE flips the per-depth join between
     # broadcast and sort-merge run-to-run near the size threshold —
-    # measured 3-6x q3 swings at sf0.1
-    norm = _edge_side(kg, norm.persist())
+    # measured 3-6x q3 swings at sf0.1. Above the limit the cached
+    # table is also pre-partitioned + pre-sorted on the per-depth join
+    # key (set_col), so each depth exchanges only the walk slots.
+    norm = _edge_side(
+        kg, _prepartition_edge_table(kg, norm, set_col).persist()
+    )
 
     seeds = _seeds(entities)
     if tokens is not None:
@@ -1924,8 +1928,13 @@ def community_sampled_walks(
     weights = edge_weights(kg, sampler)
     norm = weights.withColumn(
         "norm_weight", F.col("weight").cast("double")
-    ).where(F.col("norm_weight") > 0).persist()
-    norm = _edge_side(kg, norm)
+    ).where(F.col("norm_weight") > 0)
+    norm = _edge_side(
+        kg,
+        _prepartition_edge_table(
+            kg, norm, "dst" if is_reverse else "src"
+        ).persist(),
+    )
 
     walks = _seeds(entities).crossJoin(
         entities.sparkSession.range(max_walks).select(

@@ -224,6 +224,26 @@ class TestCanonicalize:
             )
         )
         assert rev == rev_composed
+        # the sampled (DFS) walker's weighted edge table takes the same
+        # pre-partitioned path — draws are hash-deterministic, so the
+        # forced-SMJ result must equal the broadcast-path result
+        for is_rev in (False, True):
+            forced = walks_set(
+                sampled_walks(kg, roots, 3, 4, seed=9, is_reverse=is_rev)
+            )
+            monkeypatch.setattr(
+                wmod, "BROADCAST_EDGE_LIMIT", 10**9
+            )
+            kg2 = SparkKG(
+                spark.createDataFrame(
+                    LOOP, "subj string, pred string, obj string"
+                )
+            )
+            plain = walks_set(
+                sampled_walks(kg2, roots, 3, 4, seed=9, is_reverse=is_rev)
+            )
+            monkeypatch.setattr(wmod, "BROADCAST_EDGE_LIMIT", 0)
+            assert forced == plain
 
     def test_seeded_overlay_cache_reuse_and_eviction(
         self, kg_loop, roots, spark

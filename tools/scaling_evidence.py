@@ -288,7 +288,15 @@ def _r6_section(r5, r6):
         "- Every bench line is min-of-2 inside a run (q1 included, new\n"
         "  this round) and every rep carries (canary, load1_pre,\n"
         "  load1_post) ambient tags — bursts are now attributable\n"
-        "  per-rep instead of per-run.\n"
+        "  per-rep instead of per-run. A third sequenced run\n"
+        "  (bench_r6_local_3.json) puts q2 at 2.64 s and q8 at 8.12 s;\n"
+        "  q3 swings 12-46 s across same-code reps (its historical\n"
+        "  variance band) — a 6-rep interleaved A/B of the sampled\n"
+        "  walker's pre-partitioned edge table reads NEUTRAL locally\n"
+        "  (mins 12.8 vs 13.7 s), kept for the at-scale exchange\n"
+        "  elimination; q5 is a stable ~23.5 s across all three runs\n"
+        "  with the release overhead measured at parity (38.99 vs\n"
+        "  37.15 s warm interleaved).\n"
     )
     return "\n".join(w_out)
 
