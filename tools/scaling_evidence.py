@@ -288,15 +288,23 @@ def _r6_section(r5, r6):
         "- Every bench line is min-of-2 inside a run (q1 included, new\n"
         "  this round) and every rep carries (canary, load1_pre,\n"
         "  load1_post) ambient tags — bursts are now attributable\n"
-        "  per-rep instead of per-run. A third sequenced run\n"
-        "  (bench_r6_local_3.json) puts q2 at 2.64 s and q8 at 8.12 s;\n"
+        "  per-rep instead of per-run. Third and fourth sequenced runs\n"
+        "  (bench_r6_local_{3,4}.json) put q2 at 2.64 s, q8 at 8.12 s and\n  q4a at 1.07 s;\n"
         "  q3 swings 12-46 s across same-code reps (its historical\n"
         "  variance band) — a 6-rep interleaved A/B of the sampled\n"
         "  walker's pre-partitioned edge table reads NEUTRAL locally\n"
         "  (mins 12.8 vs 13.7 s), kept for the at-scale exchange\n"
         "  elimination; q5 is a stable ~23.5 s across all three runs\n"
         "  with the release overhead measured at parity (38.99 vs\n"
-        "  37.15 s warm interleaved).\n"
+        "  37.15 s warm interleaved). Stage decomposition of q5 shows\n"
+        "  ~13 s of the wall is inter-job DRIVER planning (AQE +\n"
+        "  optimizer per round, 20 rounds x ~9 tiny stage jobs) — the\n"
+        "  static dangling set is now hoisted out of the loop, and\n"
+        "  checkpointing every K>1 rounds to amortize planning was\n"
+        "  measured and REJECTED (two references to the previous ranks\n"
+        "  double plan nodes per un-checkpointed round: K=2 43-102 s,\n"
+        "  K=4 165-173 s vs K=1 29-31 s). At 100-TB scale executor\n"
+        "  time dwarfs this fixed per-round driver cost.\n"
     )
     return "\n".join(w_out)
 
