@@ -842,10 +842,12 @@ def bfs_encoded_walks(
     no union+distinct over 2|V| rows, no vocab→name re-join; the old
     shape cost a measured ~3 s of fixed prep per run at 4M names):
     ``j`` = md5 token of name j; ``|V|+j`` = verbatim name j (seed
-    roots / seed-overlay hops); ``2|V|+t`` = predicates and non-vertex
-    seed names. Ids are near-dense (verbatim slots exist only for
-    seeds), so the parquet dictionary still sees ≤ 2|V|+|P| distinct
-    values. One edge-case divergence vs the string-keyed vocab: a
+    roots / seed-overlay hops); ``2|V|+p`` = predicate p; ``2|V|+|P|+t``
+    = non-vertex seed names. Predicates get their block BEFORE the
+    seed extras so every edge-table id is seed-independent — that is
+    what lets the tokenized integer edge table cache per KG. Ids are
+    near-dense (verbatim slots exist only for seeds), so the parquet
+    dictionary still sees ≤ 2|V|+|P|+|seeds| distinct values. One edge-case divergence vs the string-keyed vocab: a
     predicate URI that also occurs as a seed entity name gets two ids
     (one per role) — decoded corpora are identical either way.
     """
@@ -882,17 +884,35 @@ def bfs_encoded_walks(
     extras = seeds_j.where(F.col("j").isNull()).select(
         F.col("entity").alias("token")
     )
-    tail = dense_token_ids(preds.unionByName(extras)).select(
-        "token", (F.col("tid") + F.lit(2 * n_v)).alias("tid")
+    # predicate ids are assigned over the predicates ALONE (offset
+    # 2|V|), then non-vertex seed extras get the next block (offset
+    # 2|V|+|P|): interleaving both in one dense-id pass (the old
+    # layout) made every predicate id depend on the SEED SET, which
+    # forbade caching the tokenized edge table across calls
+    pred_tab, n_p = _zip_dense_index(preds, "token")
+    pred_tab = pred_tab.select(
+        "token", (F.col("_idx") + F.lit(2 * n_v)).alias("tid")
     )
+    extras_tab, _ = _zip_dense_index(extras.distinct(), "token")
+    extras_tab = extras_tab.select(
+        "token", (F.col("_idx") + F.lit(2 * n_v + n_p)).alias("tid")
+    )
+    tail = pred_tab.unionByName(extras_tab)
     pred_tid = F.broadcast(
-        tail.join(preds, "token").select(
+        pred_tab.select(
             F.col("token").alias("pred"), F.col("tid").alias("pred_tid")
         )
     )
-    edges_tok = _edge_side(
-        kg,
-        _prepartition_edge_table(
+    # the tokenized integer edge table is KG-pure when no seed overlay
+    # rides the hop side — cache it per (md5 width) exactly like
+    # bfs_canonical_walks' string-token table, so repeated encoded-walk
+    # jobs (and bench reps) skip the |E|-row join + repartition AND
+    # stop accumulating one persisted |E|-row table per call
+    cache = _kg_walk_cache(kg)
+    ekey = ("edges_ids", md5_bytes)
+    built = cache.get(ekey) if seed_entities is None else None
+    if built is None:
+        built = _prepartition_edge_table(
             kg,
             e.join(hop_map.withColumnRenamed("name", "dst"), "dst")
             .join(pred_tid, "pred")
@@ -903,8 +923,10 @@ def bfs_encoded_walks(
                 "pred_tid",
             ),
             "src_id",
-        ).persist(),
-    )
+        ).persist()
+        if seed_entities is None:
+            cache[ekey] = built
+    edges_tok = _edge_side(kg, built)
     seeds = seeds_j.join(
         tail.select(F.col("token").alias("entity"),
                     F.col("tid").alias("_tail_tid")),
