@@ -265,8 +265,8 @@ def _r6_section(r5, r6):
     w(
         "### Round-6 headline-bench notes (sf0.1, local[32], "
         "BENCH/bench_r6_local_*.json)\n\n"
-        "- **Headline 96.5 → 58.0 s** (best sequenced quiet-window run;\n"
-        "  sum of per-query min-of-4 ≈ 56.8 s).\n"
+        "- **Headline 96.5 → 53.3 s** (best of five sequenced runs:\n"
+        "  74.7 / 58.0 / 63.2 / 64.5 / 53.3).\n"
         "- **q6 minhash 9.99 → 1.87 s — the r5 'unexplained residual'\n"
         "  is named and fixed**: job-level decomposition\n"
         "  (tools/q6_decompose.py) showed AQE coalescing the small\n"
@@ -289,7 +289,7 @@ def _r6_section(r5, r6):
         "  this round) and every rep carries (canary, load1_pre,\n"
         "  load1_post) ambient tags — bursts are now attributable\n"
         "  per-rep instead of per-run. Third and fourth sequenced runs\n"
-        "  (bench_r6_local_{3,4}.json) put q2 at 2.64 s, q8 at 8.12 s and\n  q4a at 1.07 s;\n"
+        "  (bench_r6_local_{3,4}.json) put q2 at 2.64 s, q8 at 8.12 s and\n  q4a at 1.07 s; run 5 (53.3 s total) lands q8 at 6.30 s once the\n  encoded walker's integer edge table caches per KG (r6 late fix:\n  seed-independent predicate id blocks), q3 at 11.58 s;\n"
         "  q3 swings 12-46 s across same-code reps (its historical\n"
         "  variance band) — a 6-rep interleaved A/B of the sampled\n"
         "  walker's pre-partitioned edge table reads NEUTRAL locally\n"
