@@ -29,6 +29,10 @@ SAMPLERS = (
     "wide",
 )
 
+# pagerank lazy mode: materialize (eager localCheckpoint) every k-th
+# round so the RDD lineage depth stays bounded (see the loop comment)
+LINEAGE_EVERY = 8
+
 
 def edge_weights(kg: SparkKG, sampler: str = "uniform", alpha: float = 0.85) -> DataFrame:
     """Edge table with a raw (un-normalized) ``weight`` column per sampler.
@@ -158,52 +162,134 @@ def pagerank(
     # each shuffle the links×ranks join, and 8-byte keys beat entity-name
     # strings through every round; names decode once at the end
     nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+    spark = kg.edges.sparkSession
     links = kg.edges.select(
         nid("src").alias("src"), nid("dst").alias("dst")
     ).distinct().persist()
     id_map = kg.entity_names().select(nid("name").alias("id"), "name").persist()
-    nodes = id_map.select("id").persist()
+    n_links = links.count()
+    # scale-adaptive loop partitioning: the loop's join geometry is
+    # static, so partition count derives from the LINK count (~2M
+    # 16-byte link rows ≈ 100-MB-class partitions, guide §2.2), floored
+    # at 4 and capped at the session's configured shuffle parallelism —
+    # NOT a constant tuned to the local core count. 20-100 rounds
+    # multiply any per-stage task overage, so surplus tiny tasks cost
+    # more here than anywhere else in the engine (r6 decomposition:
+    # ~200 AQE stage jobs × ~180 tasks for an 18k-vertex graph).
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_p = min(sess_parts, max(4, -(-n_links // 2_000_000)))
+    nodes = (
+        id_map.select("id")
+        .repartition(loop_p, "id")
+        .sortWithinPartitions("id")
+        .persist()
+    )
     n = nodes.count()
     if n == 0:
         links.unpersist()
         id_map.unpersist()
+        nodes.unpersist()
         return kg.entity_names().withColumn("rank", F.lit(0.0))
-    out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
+    # AQE is scoped OFF for the loop (restored in finally): the join
+    # geometry is pinned (merge hints + co-partitioned static tables),
+    # so runtime re-planning buys nothing and costs one driver
+    # re-planning pause per materialized stage — the r6 stage
+    # decomposition measured ~13 s of q5's 21 s as exactly this
+    # (20 rounds × ~9 tiny AQE stage jobs). With AQE off, lazy
+    # fixed-iteration mode runs all rounds as ONE multi-stage job.
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(loop_p))
+        return _pagerank_loop(
+            kg, links, id_map, nodes, n, alpha, max_iter, tol, loop_p
+        )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
-    # the dangling-node SET is static — hoist it out of the loop so the
-    # per-iteration mass probe is a semi-join against a small persisted
-    # id table instead of re-running the nodes-vs-out_deg anti-join
-    # every round (each round is ~9 tiny AQE stage jobs at graph sizes
-    # where fixed stage overhead dominates; this removes ~2 of them)
-    dangling_ids = nodes.join(
-        out_deg.withColumnRenamed("src", "id"), "id", "left_anti"
-    ).persist()
+
+def _pagerank_loop(
+    kg: SparkKG,
+    links: DataFrame,
+    id_map: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    alpha: float,
+    max_iter: int,
+    tol: float,
+    loop_p: int,
+) -> DataFrame:
+    """The iteration body of :func:`pagerank`, run under the scoped
+    conf (AQE off, link-derived shuffle partitioning).
+
+    Every static table is pre-partitioned AND pre-sorted on its loop
+    join key with ``loop_p`` partitions, and per-round state comes out
+    of each round's join hash-partitioned on ``id`` with the same
+    count, so the per-round plan has exactly TWO exchanges: the
+    contribution groupBy("dst") agg (the one shuffle PageRank
+    fundamentally needs) and the 1-row dangling-mass agg. The old
+    shape re-joined links⋈out_deg every round and exchanged
+    ranks/nodes per round (~5 exchanges → ~9 AQE stage jobs)."""
+    # the (1/out-degree)-weighted link table is static: join it ONCE,
+    # outside the loop, instead of links⋈out_deg every round. out_deg
+    # stays a column (sum(rank / out_deg) keeps the exact FP ops of the
+    # previous shape — the oracle replicates this arithmetic).
+    out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links_w = (
+        links.join(out_deg, "src")
+        .select("src", "dst", "out_deg")
+        .repartition(loop_p, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     base = (1.0 - alpha) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     # fixed-iteration mode (tol=0) has NO per-iteration driver action:
     # a LAZY localCheckpoint still truncates the SQL plan each round
     # (flat optimizer cost) but defers materialization, so all 20-100
     # rounds run as ONE job instead of max_iter driver-synchronized
-    # jobs — measured 18.3 → 16.5 s warm / 45.8 → 17.9 s cold at sf0.1
-    # ×20 iters. tol>0 collects the L1 error every round anyway, so it
+    # jobs. tol>0 collects the L1 error every round anyway, so it
     # keeps the eager checkpoint (the collect materializes it).
     eager = tol > 0
     stale: list[DataFrame] = []  # lazy mode: checkpoints awaiting release
-    for _ in range(max_iter):
-        contrib = (
-            links.join(out_deg, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+    for it in range(max_iter):
+        # ONE pass computes both per-round aggregates: ranks LEFT JOIN
+        # the weighted link table — a rank row with no out-links is
+        # exactly a dangling node and lands in the null-dst group, so
+        # the dangling mass is that group's sum(rank) and the r6 shape's
+        # per-round semi-join, its exchange, and the static dangling_ids
+        # table all disappear. The agg exchange below is computed once
+        # and REUSED by the broadcast subtree (ReuseExchange; AQE off).
+        agg = (
+            ranks.withColumnRenamed("id", "src")
+            .hint("merge")
+            .join(links_w, "src", "left")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
+            .agg(
+                F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"),
+                F.sum(
+                    F.when(F.col("dst").isNull(), F.col("rank"))
+                ).alias("_dmp"),
+            )
         )
-        dangling = ranks.join(dangling_ids, "id", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        contrib = agg.where(F.col("dst").isNotNull()).select("dst", "in_sum")
+        dangling = agg.agg(
+            F.coalesce(F.sum("_dmp"), F.lit(0.0)).alias("_dm")
         )
         # localCheckpoint truncates lineage each iteration — without it
         # the logical plan doubles per loop and the driver OOMs ~50 iters in
+        # the 1-row dangling scalar crosses in as a replicated
+        # nested-loop (cartesian with a single-partition side), NOT a
+        # broadcast: a BroadcastExchange would run one driver-
+        # synchronized job per round (measured ~0.25 s × rounds), while
+        # the replicate form keeps every round inside the one lazy job
         new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(F.broadcast(dangling))
+            nodes.hint("merge")
+            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(dangling.hint("shuffle_replicate_nl"))
             .select(
                 "id",
                 (
@@ -215,7 +301,18 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=eager)
+            # lazy checkpoints truncate the LOGICAL plan only; the RDD
+            # lineage keeps chaining until something materializes, and
+            # task serialization recurses over that graph — unbounded
+            # depth overflows the JVM stack at ~50+ rounds (the r6
+            # shape's per-round broadcast jobs were incidentally
+            # materializing each round, masking this). One EAGER
+            # checkpoint every LINEAGE_EVERY rounds bounds the depth;
+            # the blocks it caches are exactly what the final job
+            # reads, so no work is duplicated.
+            .localCheckpoint(
+                eager=eager or (it + 1) % LINEAGE_EVERY == 0
+            )
         )
         if tol > 0:
             err = (
@@ -260,8 +357,7 @@ def pagerank(
         for df in stale:
             release_local_checkpoint(df)
     links.unpersist()
-    out_deg.unpersist()
+    links_w.unpersist()
     nodes.unpersist()
     id_map.unpersist()
-    dangling_ids.unpersist()
     return out
