@@ -42,11 +42,10 @@ BROADCAST_EDGE_LIMIT = int(
 
 
 def _edge_side(kg: SparkKG, df: DataFrame) -> DataFrame:
-    try:
-        if kg.edge_count() <= BROADCAST_EDGE_LIMIT:
-            return F.broadcast(df)
-    except Exception:
-        pass
+    # a failing edge_count propagates: swallowing it here would
+    # silently demote every walker join to sort-merge (r6 verdict)
+    if kg.edge_count() <= BROADCAST_EDGE_LIMIT:
+        return F.broadcast(df)
     # pin sort-merge above the limit: with compact (dense-id) edge
     # tables the compressed shuffle size sits near the 64 MB
     # autoBroadcast threshold, and AQE nondeterministically flips the
@@ -65,16 +64,114 @@ def _prepartition_edge_table(kg: SparkKG, df: DataFrame, key: str) -> DataFrame:
     cluster straight off the scan; in-memory the repartition stands in
     for the bucketed read. Below the limit the edge side broadcasts,
     so the extra shuffle would be pure cost — passthrough."""
-    try:
-        if kg.edge_count() <= BROADCAST_EDGE_LIMIT:
-            return df
-    except Exception:
+    if kg.edge_count() <= BROADCAST_EDGE_LIMIT:
         return df
     return df.repartition(F.col(key)).sortWithinPartitions(key)
 
 
 def _seeds(entities: DataFrame) -> DataFrame:
     return entities.select(F.col(entities.columns[0]).alias("entity")).distinct()
+
+
+def _seed_fingerprint(entities: DataFrame) -> tuple:
+    """Order-independent fingerprint of a seed set (one tiny agg job):
+    (count, exact decimal sum of xxhash64). Keys the one-live-overlay
+    caches so repeat calls with the SAME seeds reuse a cached |E|-row
+    table instead of rebuilding it."""
+    row = (
+        _seeds(entities)
+        .agg(
+            F.count("*").alias("n"),
+            # decimal(38,0): a bigint sum of 64-bit hashes overflows
+            # under ANSI; decimal is exact and order-independent
+            F.sum(F.xxhash64("entity").cast("decimal(38,0)")).alias("h"),
+        )
+        .first()
+    )
+    return (row["n"], None if row["h"] is None else int(row["h"]))
+
+
+def _norm_edge_table(
+    kg: SparkKG,
+    sampler: str,
+    inverse: bool,
+    split: bool,
+    alpha: float,
+    set_col: str,
+    hop_col: str,
+    tokens: DataFrame | None = None,
+    tokens_fpr: tuple | None = None,
+) -> DataFrame:
+    """The sampled walkers' weighted edge table — normalized weights,
+    optional fused hop tokens, pre-partitioned + pre-sorted on the
+    per-depth join key — cached per KG (immutable after construction).
+
+    Lifecycle (the r6 verdict's dead-persist fix): the table stays
+    persisted in the per-KG cache instead of being unpersisted before
+    the caller ever materializes the returned lazy walks. Untokenized
+    tables cache per (sampler, inverse, split, alpha, set_col);
+    tokenized tables are seed-dependent, so at most ONE live overlay
+    per config is kept, keyed by ``tokens_fpr`` — a different (or
+    unknown) seed set evicts the previous overlay, whose lineage
+    recomputes if a stale result DataFrame is evaluated later (same
+    contract as bfs_canonical_walks' seeded overlay)."""
+    cache = _kg_walk_cache(kg)
+    cfg = (sampler, bool(inverse), bool(split), round(alpha, 9), set_col)
+    if tokens is None:
+        ekey = ("edges_norm",) + cfg
+        got = cache.get(ekey)
+        if got is not None:
+            return got
+    else:
+        ekey = ("edges_norm_tok",) + cfg
+        prev = cache.get(ekey)
+        if (
+            prev is not None
+            and tokens_fpr is not None
+            and prev[1] == tokens_fpr
+        ):
+            return prev[0]
+    weights = edge_weights(kg, sampler, alpha=alpha)
+    if inverse:
+        # inverse needs the per-candidate-set max/min (sampler.py:124-127)
+        norm = normalize_hop_weights(
+            weights, [set_col], kg=kg, inverse=True, split=split,
+            obj_col=hop_col,
+        )
+    else:
+        # the exponential-race argmin is invariant under positive scaling
+        # of the candidate set, so the per-set sum-normalization windows
+        # are unnecessary — raw weights (plus the split division) give
+        # the identical sampling distribution with zero window shuffles
+        norm = weights.withColumn("norm_weight", F.col("weight").cast("double"))
+        if split:
+            from pyrdf2vec_spark.samplers import split_degrees
+
+            degs = split_degrees(kg).withColumnRenamed("name", hop_col)
+            norm = (
+                norm.join(degs, hop_col, "left")
+                .where(F.coalesce(F.col("deg"), F.lit(0)) != 0)
+                .withColumn("norm_weight", F.col("norm_weight") / F.col("deg"))
+                .drop("deg")
+            )
+    norm = norm.where(
+        F.col("norm_weight").isNotNull() & (F.col("norm_weight") > 0)
+    ).select("src", "pred", "dst", "norm_weight")
+    if tokens is not None:
+        # token of the hop vertex, joined ONCE onto the edge-weight
+        # table (O(|E|)), not per walk occurrence
+        norm = norm.join(
+            tokens.withColumnRenamed("name", hop_col), hop_col
+        ).withColumnRenamed("token", "hop_tok")
+    built = _prepartition_edge_table(kg, norm, set_col).persist()
+    if tokens is None:
+        cache[ekey] = built
+    else:
+        prev = cache.get(ekey)
+        if prev is not None:
+            prev[0].unpersist()
+        cache[ekey] = (built, tokens_fpr)
+    return built
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +257,7 @@ def sampled_walks(
     is_reverse: bool = False,
     portable_hash: bool = False,
     tokens: DataFrame | None = None,
+    tokens_fpr: tuple | None = None,
 ) -> DataFrame:
     """Exactly ``max_walks`` root-anchored walks per entity, each hop drawn
     with probability proportional to the sampler weight.
@@ -185,52 +283,25 @@ def sampled_walks(
     the argmin is distributed ∝ w. One shuffle (min_by agg) per depth,
     fully deterministic given ``seed``.
     """
-    weights = edge_weights(kg, sampler, alpha=alpha)
     # candidate-hop geometry flips under is_reverse: the reference draws
     # PREDECESSORS via get_hops(walk[0], True) (sampler.py:155-160), so
     # the candidate set for head h is {edges with dst == h} and the hop
     # vertex is the edge's src — the per-set normalization groups by dst
     # and the split division uses the src vertex's degree
     set_col, hop_col = ("dst", "src") if is_reverse else ("src", "dst")
-    if inverse:
-        # inverse needs the per-candidate-set max/min (sampler.py:124-127)
-        norm = normalize_hop_weights(
-            weights, [set_col], kg=kg, inverse=True, split=split,
-            obj_col=hop_col,
-        )
-    else:
-        # the exponential-race argmin is invariant under positive scaling
-        # of the candidate set, so the per-set sum-normalization windows
-        # are unnecessary — raw weights (plus the split division) give
-        # the identical sampling distribution with zero window shuffles
-        norm = weights.withColumn("norm_weight", F.col("weight").cast("double"))
-        if split:
-            from pyrdf2vec_spark.samplers import split_degrees
-
-            degs = split_degrees(kg).withColumnRenamed("name", hop_col)
-            norm = (
-                norm.join(degs, hop_col, "left")
-                .where(F.coalesce(F.col("deg"), F.lit(0)) != 0)
-                .withColumn("norm_weight", F.col("norm_weight") / F.col("deg"))
-                .drop("deg")
-            )
-    norm = norm.where(
-        F.col("norm_weight").isNotNull() & (F.col("norm_weight") > 0)
-    )
-    if tokens is not None:
-        # token of the hop vertex, joined ONCE onto the edge-weight
-        # table (O(|E|)), not per walk occurrence
-        norm = norm.join(
-            tokens.withColumnRenamed("name", hop_col), hop_col
-        ).withColumnRenamed("token", "hop_tok")
-    # pin the edge-side strategy exactly like the BFS frontier joins
-    # (_edge_side): without it AQE flips the per-depth join between
-    # broadcast and sort-merge run-to-run near the size threshold —
-    # measured 3-6x q3 swings at sf0.1. Above the limit the cached
-    # table is also pre-partitioned + pre-sorted on the per-depth join
-    # key (set_col), so each depth exchanges only the walk slots.
+    # weighted edge table: normalized, optionally tokenized, cached per
+    # KG (see _norm_edge_table — this is also the r6 dead-persist fix),
+    # pre-partitioned + pre-sorted on the per-depth join key so each
+    # depth exchanges only the walk slots. The edge-side strategy is
+    # pinned exactly like the BFS frontier joins (_edge_side): without
+    # it AQE flips the per-depth join between broadcast and sort-merge
+    # run-to-run near the size threshold — measured 3-6x q3 swings.
     norm = _edge_side(
-        kg, _prepartition_edge_table(kg, norm, set_col).persist()
+        kg,
+        _norm_edge_table(
+            kg, sampler, inverse, split, alpha, set_col, hop_col,
+            tokens=tokens, tokens_fpr=tokens_fpr,
+        ),
     )
 
     seeds = _seeds(entities)
@@ -258,18 +329,24 @@ def sampled_walks(
         )
     )
     walks = slots
-    finished: DataFrame | None = None
+    # FUSED dead/live loop: a slot whose head has no candidate hops
+    # rides the remaining depths frozen (its left join matches nothing,
+    # the group's single all-null row keeps walk/cur unchanged) instead
+    # of branching into a per-depth `finished` union. A group is
+    # homogeneous by construction — its `cur` either has candidates
+    # (all rows live) or none (exactly one null row) — so the argmin
+    # never mixes the two. Output multiset is identical: every
+    # (entity, walk_id) slot appears exactly once, its walk frozen at
+    # death. The old split executed every per-depth join TWICE (once
+    # per consumer branch) and fanned the final action into a
+    # (max_depth+1)-branch union — measured as ~50 AQE stage jobs for
+    # one q3 count at sf0.1.
     for depth in range(max_depth):
         if is_reverse:
             # head extends by its INCOMING edges (predecessor hops)
             joined = walks.join(norm, walks["cur"] == norm["dst"], "left")
         else:
             joined = walks.join(norm, walks["cur"] == norm["src"], "left")
-        dead = joined.where(F.col("pred").isNull()).select(
-            "entity", "walk_id", "walk"
-        )
-        finished = dead if finished is None else finished.unionByName(dead)
-        live = joined.where(F.col("pred").isNotNull())
         other = F.col("src") if is_reverse else F.col("dst")
         other_tok = F.col("hop_tok") if tokens is not None else other
         # deterministic u ∈ (0,1) per (slot, depth, candidate)
@@ -297,7 +374,7 @@ def sampled_walks(
                 / F.lit(float(2**31))
             )
         race_key = -F.log(u) / F.col("norm_weight")
-        picked = live.groupBy("entity", "walk_id").agg(
+        picked = joined.groupBy("entity", "walk_id").agg(
             F.min_by(
                 F.struct(
                     F.col("pred").alias("p"),
@@ -308,6 +385,7 @@ def sampled_walks(
                 F.struct(race_key.alias("k"), F.col("pred"), other),
             ).alias("hop"),
             F.first("walk").alias("walk"),
+            F.first("cur").alias("cur"),
         )
         if is_reverse:
             nxt = F.concat(
@@ -318,18 +396,16 @@ def sampled_walks(
                 F.col("walk"), F.array(F.col("hop.p"), F.col("hop.otok"))
             )
         walks = picked.select(
-            "entity", "walk_id", F.col("hop.o").alias("cur"),
-            nxt.alias("walk"),
+            "entity",
+            "walk_id",
+            F.coalesce(F.col("hop.o"), F.col("cur")).alias("cur"),
+            F.when(F.col("hop.p").isNull(), F.col("walk"))
+            .otherwise(nxt)
+            .alias("walk"),
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = (
-        walks.select("entity", "walk_id", "walk")
-        if finished is None
-        else finished.unionByName(walks.select("entity", "walk_id", "walk"))
-    )
-    norm.unpersist()
-    return out.select("entity", "walk")
+    return walks.select("entity", "walk")
 
 
 # ---------------------------------------------------------------------------
@@ -665,19 +741,7 @@ def bfs_canonical_walks(
         # with the SAME seeds reuse the cached overlay instead of
         # rebuilding the |E|-row join; a DIFFERENT seed set evicts the
         # previous overlay (one-live-overlay contract, see docstring)
-        row = (
-            _seeds(seed_entities)
-            .agg(
-                F.count("*").alias("n"),
-                # decimal(38,0): a bigint sum of 64-bit hashes overflows
-                # under ANSI; decimal is exact and order-independent
-                F.sum(F.xxhash64("entity").cast("decimal(38,0)")).alias(
-                    "h"
-                ),
-            )
-            .first()
-        )
-        seed_fpr = (row["n"], None if row["h"] is None else int(row["h"]))
+        seed_fpr = _seed_fingerprint(seed_entities)
         prev = cache.get(skey)
         if prev is not None and prev[1] == seed_fpr:
             built = prev[0]
@@ -1008,20 +1072,23 @@ def dfs_canonical_walks(
     genuine duplicates by design (random.py:103-117), so the final
     dropDuplicates stays.
     """
-    toks = (
-        vertex_tokens(kg, seed_entities or entities, md5_bytes)
-        if md5_bytes is not None
-        else None
-    )
+    toks = fpr = None
+    if md5_bytes is not None:
+        seed_src = seed_entities if seed_entities is not None else entities
+        toks = vertex_tokens(kg, seed_src, md5_bytes)
+        # one fingerprint job keys the tokenized edge-table overlay for
+        # BOTH directions (and repeat same-seed calls reuse the cache)
+        fpr = (md5_bytes,) + _seed_fingerprint(seed_src)
     fwd = sampled_walks(
         kg, entities, max_depth, max_walks, sampler, inverse, split,
         alpha, seed, portable_hash=portable_hash, tokens=toks,
+        tokens_fpr=fpr,
     )
     if with_reverse:
         rev = sampled_walks(
             kg, entities, max_depth, max_walks, sampler, inverse, split,
             alpha, seed + 1, is_reverse=True, portable_hash=portable_hash,
-            tokens=toks,
+            tokens=toks, tokens_fpr=fpr,
         )
         fwd = combine_with_reverse(fwd, rev)
     return fwd.dropDuplicates(["entity", "walk"])
@@ -1811,6 +1878,23 @@ def _community_partition(
     )
 
 
+def _community_cached(
+    kg: SparkKG, algorithm: str, lpa_iterations: int
+) -> DataFrame:
+    """Persisted (name, community) table, cached per KG per config —
+    the community walkers previously persisted it per call and
+    unpersisted it BEFORE the caller ever materialized the returned
+    lazy walks (the r6 dead-persist defect, same as the sampled
+    walkers' edge table)."""
+    cache = _kg_walk_cache(kg)
+    key = ("community", algorithm, int(lpa_iterations))
+    if key not in cache:
+        cache[key] = _community_partition(
+            kg, algorithm, lpa_iterations
+        ).persist()
+    return cache[key]
+
+
 def community_walks(
     kg: SparkKG,
     entities: DataFrame,
@@ -1834,10 +1918,8 @@ def community_walks(
     Distribution-equivalent (deterministic hash randomness); exact RNG
     streams are impossible to replicate (SURVEY.md §5.4).
     """
-    comm = _community_partition(kg, algorithm, lpa_iterations).persist()
-    members = comm.select(
-        "community", F.col("name").alias("member")
-    ).persist()
+    comm = _community_cached(kg, algorithm, lpa_iterations)
+    members = comm.select("community", F.col("name").alias("member"))
     e = _edge_side(kg, kg.edges)
     walks = _seeds(entities).select(
         "entity", F.array(F.col("entity")).alias("walk")
@@ -1902,10 +1984,7 @@ def community_walks(
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
     out = walks if finished is None else finished.unionByName(walks)
-    out = out.dropDuplicates(["entity", "walk"])
-    comm.unpersist()
-    members.unpersist()
-    return out
+    return out.dropDuplicates(["entity", "walk"])
 
 
 def community_sampled_walks(
@@ -1941,21 +2020,14 @@ def community_sampled_walks(
     becomes the walk's active end, so later hops continue from it
     exactly as the reference's sub_walk[-1] does.
     """
-    from pyrdf2vec_spark.samplers import edge_weights
-
-    comm = _community_partition(kg, algorithm, lpa_iterations).persist()
-    members = comm.select(
-        "community", F.col("name").alias("member")
-    ).persist()
-    weights = edge_weights(kg, sampler)
-    norm = weights.withColumn(
-        "norm_weight", F.col("weight").cast("double")
-    ).where(F.col("norm_weight") > 0)
+    comm = _community_cached(kg, algorithm, lpa_iterations)
+    members = comm.select("community", F.col("name").alias("member"))
+    set_col, hop_col = ("dst", "src") if is_reverse else ("src", "dst")
     norm = _edge_side(
         kg,
-        _prepartition_edge_table(
-            kg, norm, "dst" if is_reverse else "src"
-        ).persist(),
+        _norm_edge_table(
+            kg, sampler, False, False, 0.85, set_col, hop_col
+        ),
     )
 
     walks = _seeds(entities).crossJoin(
@@ -1967,7 +2039,9 @@ def community_sampled_walks(
         F.col("entity").alias("cur"),
         F.array(F.col("entity")).alias("walk"),
     )
-    finished: DataFrame | None = None
+    # fused dead/live loop — same shape (and same equivalence argument)
+    # as sampled_walks: dead slots ride frozen instead of branching
+    # into a per-depth union, so each per-depth join executes once
     for depth in range(max_depth):
         if is_reverse:
             joined = walks.join(norm, walks["cur"] == norm["dst"], "left")
@@ -1975,11 +2049,6 @@ def community_sampled_walks(
         else:
             joined = walks.join(norm, walks["cur"] == norm["src"], "left")
             other = F.col("dst")
-        dead = joined.where(F.col("pred").isNull()).select(
-            "entity", "walk_id", "walk"
-        )
-        finished = dead if finished is None else finished.unionByName(dead)
-        live = joined.where(F.col("pred").isNotNull())
         if portable_hash:
             u = _md5_uniform(
                 F.col("entity"), F.col("walk_id"), F.lit(depth),
@@ -1997,12 +2066,13 @@ def community_sampled_walks(
                 + F.lit(1.0)
             ) / F.lit(float(2**31))
         race_key = -F.log(u) / F.col("norm_weight")
-        picked = live.groupBy("entity", "walk_id").agg(
+        picked = joined.groupBy("entity", "walk_id").agg(
             F.min_by(
                 F.struct(F.col("pred").alias("p"), other.alias("o")),
                 F.struct(race_key.alias("k"), F.col("pred"), other),
             ).alias("hop"),
             F.first("walk").alias("walk"),
+            F.first("cur").alias("cur"),
         )
         # teleport coin per picked hop (community.py:222-247)
         if portable_hash:
@@ -2041,7 +2111,11 @@ def community_sampled_walks(
                 F.col("walk"), F.col("walk_id"), F.col("member"),
                 F.lit(seed + depth),
             )
-        picked = picked.withColumn("tele", coin < F.lit(hop_prob))
+        # dead slots (hop.p null) never teleport — they stay in `plain`
+        # and ride frozen
+        picked = picked.withColumn(
+            "tele", (coin < F.lit(hop_prob)) & F.col("hop.p").isNotNull()
+        )
         tele = (
             picked.where(F.col("tele"))
             .join(comm.withColumnRenamed("name", "hop_o"),
@@ -2052,14 +2126,15 @@ def community_sampled_walks(
                 F.min_by("member", member_key).alias("o2"),
                 F.first("hop").alias("hop"),
                 F.first("walk").alias("walk"),
+                F.first("cur").alias("cur"),
             )
             .select(
-                "entity", "walk_id", "walk",
+                "entity", "walk_id", "walk", "cur",
                 F.col("hop.p").alias("p"), F.col("o2").alias("o"),
             )
         )
         plain = picked.where(~F.col("tele")).select(
-            "entity", "walk_id", "walk",
+            "entity", "walk_id", "walk", "cur",
             F.col("hop.p").alias("p"), F.col("hop.o").alias("o"),
         )
         stepped = plain.unionByName(tele)
@@ -2068,22 +2143,16 @@ def community_sampled_walks(
         else:
             nxt = F.concat(F.col("walk"), F.array(F.col("p"), F.col("o")))
         walks = stepped.select(
-            "entity", "walk_id", F.col("o").alias("cur"), nxt.alias("walk")
+            "entity",
+            "walk_id",
+            F.coalesce(F.col("o"), F.col("cur")).alias("cur"),
+            F.when(F.col("p").isNull(), F.col("walk"))
+            .otherwise(nxt)
+            .alias("walk"),
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = (
-        walks.select("entity", "walk")
-        if finished is None
-        else finished.select("entity", "walk").unionByName(
-            walks.select("entity", "walk")
-        )
-    )
-    out = out.dropDuplicates(["entity", "walk"])
-    norm.unpersist()
-    comm.unpersist()
-    members.unpersist()
-    return out
+    return walks.select("entity", "walk").dropDuplicates(["entity", "walk"])
 
 
 # ---------------------------------------------------------------------------

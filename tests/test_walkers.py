@@ -1054,3 +1054,17 @@ class TestExtractWalks:
             assert w[-1] == ent
             for i in range(0, len(w) - 2, 2):
                 assert (w[i], w[i + 1], w[i + 2]) in edges
+
+
+class TestEdgeSideFailureSurfaces:
+    def test_failing_edge_count_propagates(self, kg_loop):
+        # a genuine edge_count failure must surface, not silently
+        # demote every walker join to sort-merge (r6 verdict item 5)
+        from pyrdf2vec_spark.walks import _edge_side
+
+        class _BrokenKG:
+            def edge_count(self):
+                raise RuntimeError("edge table dropped")
+
+        with pytest.raises(RuntimeError, match="edge table dropped"):
+            _edge_side(_BrokenKG(), kg_loop.edges)
