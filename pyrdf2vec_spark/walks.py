@@ -196,8 +196,12 @@ def bfs_walks(
     walks = _seeds(entities).select(
         "entity", F.array(F.col("entity")).alias("walk")
     )
-    finished: DataFrame | None = None
     e = _edge_side(kg, kg.edges)
+    # FUSED dead/live loop (same shape as sampled_walks): a dead-end
+    # walk rides the remaining depths frozen — its head matches no
+    # edge, so the left join keeps the single unmatched row unchanged —
+    # instead of branching into a per-depth `finished` union whose
+    # branches re-execute every upstream join once each
     for depth in range(max_depth):
         if is_reverse:
             key = F.element_at(F.col("walk"), 1)
@@ -211,19 +215,19 @@ def bfs_walks(
             extended = F.concat(
                 F.col("walk"), F.array(F.col("pred"), F.col("dst"))
             )
-        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
-        finished = dead if finished is None else finished.unionByName(dead)
-        walks = joined.where(F.col("pred").isNotNull()).select(
-            "entity", extended.alias("walk")
+        walks = joined.select(
+            "entity",
+            F.when(F.col("pred").isNull(), F.col("walk"))
+            .otherwise(extended)
+            .alias("walk"),
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = walks if finished is None else finished.unionByName(walks)
     # no dedup shuffle needed: seeds and edges are distinct, so each
     # extension is unique per (walk, edge), and frozen dead-end walks
     # differ from longer survivors by length — the reference's set
     # semantics (random.py:67-81) hold by construction
-    return out
+    return walks
 
 
 # ---------------------------------------------------------------------------
@@ -788,7 +792,7 @@ def bfs_canonical_walks(
         F.xxhash64("entity").alias("cur"),
         F.array(root_tok).alias("walk"),
     )
-    finished: DataFrame | None = None
+    # fused dead/live loop — see bfs_walks
     for depth in range(max_depth):
         if is_reverse:
             joined = walks.join(
@@ -804,19 +808,16 @@ def bfs_canonical_walks(
             nxt_cur, extended = F.col("dst_id"), F.concat(
                 F.col("walk"), F.array(F.col("pred"), F.col("hop_tok"))
             )
-        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
-        finished = dead if finished is None else finished.unionByName(dead)
-        walks = joined.where(F.col("pred").isNotNull()).select(
+        walks = joined.select(
             "entity",
-            nxt_cur.alias("cur"),
-            extended.alias("walk"),
+            F.coalesce(nxt_cur, F.col("cur")).alias("cur"),
+            F.when(F.col("pred").isNull(), F.col("walk"))
+            .otherwise(extended)
+            .alias("walk"),
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = walks.select("entity", "walk")
-    if finished is not None:
-        out = finished.unionByName(out)
-    return out
+    return walks.select("entity", "walk")
 
 
 def dense_token_ids(tokens: DataFrame, col: str = "token") -> DataFrame:
@@ -1009,27 +1010,26 @@ def bfs_encoded_walks(
         F.xxhash64("entity").alias("cur"),
         F.array(root_tid).alias("walk"),
     )
-    finished: DataFrame | None = None
+    # fused dead/live loop — see bfs_walks
     for depth in range(max_depth):
         joined = walks.join(
             edges_tok, walks["cur"] == edges_tok["src_id"], "left"
         )
-        dead = joined.where(F.col("pred_tid").isNull()).select(
-            "root", "walk"
-        )
-        finished = dead if finished is None else finished.unionByName(dead)
-        walks = joined.where(F.col("pred_tid").isNotNull()).select(
+        walks = joined.select(
             "root",
-            F.col("dst_id").alias("cur"),
-            F.concat(
-                F.col("walk"), F.array(F.col("pred_tid"), F.col("hop_tid"))
-            ).alias("walk"),
+            F.coalesce(F.col("dst_id"), F.col("cur")).alias("cur"),
+            F.when(F.col("pred_tid").isNull(), F.col("walk"))
+            .otherwise(
+                F.concat(
+                    F.col("walk"),
+                    F.array(F.col("pred_tid"), F.col("hop_tid")),
+                )
+            )
+            .alias("walk"),
         )
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
     out = walks.select("root", "walk")
-    if finished is not None:
-        out = finished.unionByName(out)
     seed_vocab = seeds_j.where(F.col("j").isNotNull()).select(
         (F.col("j") + n_v).alias("tid"), F.col("entity").alias("token")
     )
@@ -1924,7 +1924,8 @@ def community_walks(
     walks = _seeds(entities).select(
         "entity", F.array(F.col("entity")).alias("walk")
     )
-    finished: DataFrame | None = None
+    # fused dead/live loop — see bfs_walks (frozen walks match no edge
+    # and never pass the teleport coin's isNotNull guard)
     for depth in range(max_depth):
         if is_reverse:
             key = F.element_at(F.col("walk"), 1)
@@ -1940,9 +1941,6 @@ def community_walks(
             extended = F.concat(
                 F.col("walk"), F.array(F.col("pred"), F.col("dst"))
             )
-        dead = joined.where(F.col("pred").isNull()).select("entity", "walk")
-        finished = dead if finished is None else finished.unionByName(dead)
-        live = joined.where(F.col("pred").isNotNull())
         # teleport candidates: hop passes the biased coin
         u = (
             F.pmod(
@@ -1953,9 +1951,9 @@ def community_walks(
             ).cast("double")
             / F.lit(10.0**6)
         )
-        cands = live.where(u < F.lit(hop_prob)).select(
-            "entity", "walk", hop_other.alias("obj")
-        )
+        cands = joined.where(
+            F.col("pred").isNotNull() & (u < F.lit(hop_prob))
+        ).select("entity", "walk", hop_other.alias("obj"))
         picked = (
             cands.join(comm.withColumnRenamed("name", "obj"), "obj")
             .join(members, "community")
@@ -1980,11 +1978,15 @@ def community_walks(
         # teleport walks re-enter the frontier: the reference adds them
         # to the live walk set, so they are extended (or replaced) in
         # later iterations just like hop extensions (community.py:166-183)
-        walks = live.select("entity", extended.alias("walk")).unionByName(tele)
+        walks = joined.select(
+            "entity",
+            F.when(F.col("pred").isNull(), F.col("walk"))
+            .otherwise(extended)
+            .alias("walk"),
+        ).unionByName(tele)
         if (depth + 1) % CHECKPOINT_EVERY == 0 and depth + 1 < max_depth:
             walks = walks.localCheckpoint(eager=False)
-    out = walks if finished is None else finished.unionByName(walks)
-    return out.dropDuplicates(["entity", "walk"])
+    return walks.dropDuplicates(["entity", "walk"])
 
 
 def community_sampled_walks(
