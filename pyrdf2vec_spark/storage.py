@@ -106,7 +106,6 @@ def write_bucketed_edge_ids(
 
     Returns the table name to read back via ``spark.table``.
     """
-    spark = kg.edges.sparkSession
     df = kg.edges.select(
         F.xxhash64("src").alias("src_id"),
         "pred",

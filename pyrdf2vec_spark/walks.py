@@ -953,11 +953,25 @@ def bfs_encoded_walks(
     # 2|V|), then non-vertex seed extras get the next block (offset
     # 2|V|+|P|): interleaving both in one dense-id pass (the old
     # layout) made every predicate id depend on the SEED SET, which
-    # forbade caching the tokenized edge table across calls
-    pred_tab, n_p = _zip_dense_index(preds, "token")
-    pred_tab = pred_tab.select(
-        "token", (F.col("_idx") + F.lit(2 * n_v)).alias("tid")
-    )
+    # forbade caching the tokenized edge table across calls.
+    # The predicate id table is CACHED (persisted) per KG alongside the
+    # edge table it is baked into: recomputing it per call via
+    # _zip_dense_index only renumbers identically while the distinct
+    # shuffle's partitioning is unchanged — a mid-session
+    # shuffle-partition change would otherwise silently pair a cached
+    # edge table with a differently-numbered vocab. The cache hit also
+    # skips the dense-index pass's driver collect.
+    cache = _kg_walk_cache(kg)
+    pkey = ("pred_ids", md5_bytes)
+    got = cache.get(pkey)
+    if got is None:
+        pred_raw, n_p = _zip_dense_index(preds, "token")
+        pred_tab = pred_raw.select(
+            "token", (F.col("_idx") + F.lit(2 * n_v)).alias("tid")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cache[pkey] = (pred_tab, n_p)
+    else:
+        pred_tab, n_p = got
     extras_tab, _ = _zip_dense_index(extras.distinct(), "token")
     extras_tab = extras_tab.select(
         "token", (F.col("_idx") + F.lit(2 * n_v + n_p)).alias("tid")
@@ -972,10 +986,19 @@ def bfs_encoded_walks(
     # rides the hop side — cache it per (md5 width) exactly like
     # bfs_canonical_walks' string-token table, so repeated encoded-walk
     # jobs (and bench reps) skip the |E|-row join + repartition AND
-    # stop accumulating one persisted |E|-row table per call
-    cache = _kg_walk_cache(kg)
+    # stop accumulating one persisted |E|-row table per call. Seeded
+    # calls keep at most ONE live overlay, keyed by the seed-set
+    # fingerprint (same contract as bfs_canonical_walks).
     ekey = ("edges_ids", md5_bytes)
-    built = cache.get(ekey) if seed_entities is None else None
+    skey = ("edges_ids_seeded", md5_bytes)
+    built = seed_fpr = None
+    if seed_entities is None:
+        built = cache.get(ekey)
+    else:
+        seed_fpr = _seed_fingerprint(seed_entities)
+        prev = cache.get(skey)
+        if prev is not None and prev[1] == seed_fpr:
+            built = prev[0]
     if built is None:
         built = _prepartition_edge_table(
             kg,
@@ -991,6 +1014,11 @@ def bfs_encoded_walks(
         ).persist()
         if seed_entities is None:
             cache[ekey] = built
+        else:
+            prev = cache.get(skey)
+            if prev is not None:
+                prev[0].unpersist()
+            cache[skey] = (built, seed_fpr)
     edges_tok = _edge_side(kg, built)
     seeds = seeds_j.join(
         tail.select(F.col("token").alias("entity"),
