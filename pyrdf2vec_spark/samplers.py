@@ -158,37 +158,8 @@ def pagerank(
     at 10⁹ vertices that is ~3·10⁻²; swap to a dense-rank id table if
     that bound ever matters). Returns (name, rank).
     """
-    # vertex keys are xxhash64 ints inside the loop: 20-100 iterations
-    # each shuffle the links×ranks join, and 8-byte keys beat entity-name
-    # strings through every round; names decode once at the end
-    nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
-    spark = kg.edges.sparkSession
-    links = kg.edges.select(
-        nid("src").alias("src"), nid("dst").alias("dst")
-    ).distinct().persist()
-    id_map = kg.entity_names().select(nid("name").alias("id"), "name").persist()
-    n_links = links.count()
-    # scale-adaptive loop partitioning: the loop's join geometry is
-    # static, so partition count derives from the LINK count (~2M
-    # 16-byte link rows ≈ 100-MB-class partitions, guide §2.2), floored
-    # at 4 and capped at the session's configured shuffle parallelism —
-    # NOT a constant tuned to the local core count. 20-100 rounds
-    # multiply any per-stage task overage, so surplus tiny tasks cost
-    # more here than anywhere else in the engine (r6 decomposition:
-    # ~200 AQE stage jobs × ~180 tasks for an 18k-vertex graph).
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_p = min(sess_parts, max(4, -(-n_links // 2_000_000)))
-    nodes = (
-        id_map.select("id")
-        .repartition(loop_p, "id")
-        .sortWithinPartitions("id")
-        .persist()
-    )
-    n = nodes.count()
+    links_w, nodes, id_map, n, loop_p = _pagerank_static(kg)
     if n == 0:
-        links.unpersist()
-        id_map.unpersist()
-        nodes.unpersist()
         return kg.entity_names().withColumn("rank", F.lit(0.0))
     # AQE is scoped OFF for the loop (restored in finally): the join
     # geometry is pinned (merge hints + co-partitioned static tables),
@@ -197,54 +168,107 @@ def pagerank(
     # decomposition measured ~13 s of q5's 21 s as exactly this
     # (20 rounds × ~9 tiny AQE stage jobs). With AQE off, lazy
     # fixed-iteration mode runs all rounds as ONE multi-stage job.
-    conf = spark.conf
+    conf = kg.edges.sparkSession.conf
     old_aqe = conf.get("spark.sql.adaptive.enabled")
     old_parts = conf.get("spark.sql.shuffle.partitions")
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(loop_p))
         return _pagerank_loop(
-            kg, links, id_map, nodes, n, alpha, max_iter, tol, loop_p
+            links_w, id_map, nodes, n, alpha, max_iter, tol
         )
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def _pagerank_loop(
-    kg: SparkKG,
-    links: DataFrame,
-    id_map: DataFrame,
-    nodes: DataFrame,
-    n: int,
-    alpha: float,
-    max_iter: int,
-    tol: float,
-    loop_p: int,
-) -> DataFrame:
-    """The iteration body of :func:`pagerank`, run under the scoped
-    conf (AQE off, link-derived shuffle partitioning).
+def _pagerank_static(kg: SparkKG) -> tuple:
+    """The loop-invariant pagerank tables, cached per KG (immutable
+    after construction, same contract as the walkers' edge-table
+    caches): the (1/out-degree)-weighted link table pre-partitioned +
+    pre-sorted on ``src``, the node id table pre-partitioned on ``id``,
+    the id→name map, |V|, and the loop partition count. Repeat
+    pagerank calls (bench reps, the pagerank sampler) skip the
+    distinct/count/repartition prelude entirely.
 
-    Every static table is pre-partitioned AND pre-sorted on its loop
-    join key with ``loop_p`` partitions, and per-round state comes out
-    of each round's join hash-partitioned on ``id`` with the same
-    count, so the per-round plan has exactly TWO exchanges: the
-    contribution groupBy("dst") agg (the one shuffle PageRank
-    fundamentally needs) and the 1-row dangling-mass agg. The old
-    shape re-joined links⋈out_deg every round and exchanged
-    ranks/nodes per round (~5 exchanges → ~9 AQE stage jobs)."""
-    # the (1/out-degree)-weighted link table is static: join it ONCE,
-    # outside the loop, instead of links⋈out_deg every round. out_deg
-    # stays a column (sum(rank / out_deg) keeps the exact FP ops of the
-    # previous shape — the oracle replicates this arithmetic).
+    Scale-adaptive loop partitioning: the loop's join geometry is
+    static, so partition count derives from the edge count (~2M
+    16-byte link rows ≈ 100-MB-class partitions, guide §2.2), floored
+    at 4 and capped at the session's configured shuffle parallelism —
+    NOT a constant tuned to the local core count. 20-100 rounds
+    multiply any per-stage task overage, so surplus tiny tasks cost
+    more here than anywhere else in the engine (r6 decomposition:
+    ~200 AQE stage jobs × ~180 tasks for an 18k-vertex graph)."""
+    got = getattr(kg, "_pagerank_static", None)
+    if got is not None:
+        return got
+    # vertex keys are xxhash64 ints inside the loop: 20-100 iterations
+    # each shuffle the links×ranks join, and 8-byte keys beat entity-
+    # name strings through every round; names decode once at the end
+    nid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+    spark = kg.edges.sparkSession
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_p = min(sess_parts, max(4, -(-kg.edge_count() // 2_000_000)))
+    # the static tables are EAGER local checkpoints, not plain persists:
+    # a persisted DataFrame's logical plan still carries its full build
+    # lineage, and the analyzer/optimizer re-traverse it inside every
+    # round's plan — measured as ~0.3 s of driver planning per
+    # localCheckpoint call (6.3 of a 10.5 s warm run). A checkpoint
+    # collapses each table to a single LogicalRDD leaf (partitioning
+    # preserved — unlike the stats-free rewrap, which drops it and
+    # would re-exchange |E| rows every round). Stats stay linear
+    # across rounds: the dangling branch collapses through a 1-row
+    # global agg exactly as before (see session.hard_local_checkpoint).
+    id_map = (
+        kg.entity_names()
+        .select(nid("name").alias("id"), "name")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        id_map.select("id")
+        .repartition(loop_p, "id")
+        .sortWithinPartitions("id")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    # links needs no persist of its own: both consumers below (the
+    # out-degree agg and the join) reuse its distinct's exchange
+    # within the one job that materializes links_w
+    links = kg.edges.select(
+        nid("src").alias("src"), nid("dst").alias("dst")
+    ).distinct()
     out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg"))
     links_w = (
         links.join(out_deg, "src")
         .select("src", "dst", "out_deg")
         .repartition(loop_p, "src")
         .sortWithinPartitions("src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    kg._pagerank_static = (links_w, nodes, id_map, n, loop_p)
+    return kg._pagerank_static
+
+
+def _pagerank_loop(
+    links_w: DataFrame,
+    id_map: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    alpha: float,
+    max_iter: int,
+    tol: float,
+) -> DataFrame:
+    """The iteration body of :func:`pagerank`, run under the scoped
+    conf (AQE off, link-derived shuffle partitioning).
+
+    Every static table is pre-partitioned AND pre-sorted on its loop
+    join key, so the per-round plan has exactly TWO data exchanges:
+    the contribution groupBy("dst") agg (the one shuffle PageRank
+    fundamentally needs) and the per-round state exchange back onto
+    the link key. The old shape re-joined links⋈out_deg every round,
+    ran a separate dangling semi-join, and broadcast the dangling
+    scalar via a per-round driver-synchronized job (~5 exchanges →
+    ~9 AQE stage jobs per round)."""
     base = (1.0 - alpha) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     # fixed-iteration mode (tol=0) has NO per-iteration driver action:
@@ -356,8 +380,6 @@ def _pagerank_loop(
         out.count()
         for df in stale:
             release_local_checkpoint(df)
-    links.unpersist()
-    links_w.unpersist()
-    nodes.unpersist()
-    id_map.unpersist()
+    # the static tables (links_w / nodes / id_map) stay persisted in
+    # the per-KG cache — see _pagerank_static
     return out
