@@ -158,7 +158,7 @@ def pagerank(
     at 10⁹ vertices that is ~3·10⁻²; swap to a dense-rank id table if
     that bound ever matters). Returns (name, rank).
     """
-    links_w, nodes, id_map, n, loop_p = _pagerank_static(kg)
+    links_w, nodes, id_map, n, n_dangling, loop_p = _pagerank_static(kg)
     if n == 0:
         return kg.entity_names().withColumn("rank", F.lit(0.0))
     # AQE is scoped OFF for the loop (restored in finally): the join
@@ -175,7 +175,7 @@ def pagerank(
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(loop_p))
         return _pagerank_loop(
-            links_w, id_map, nodes, n, alpha, max_iter, tol
+            links_w, id_map, nodes, n, n_dangling, alpha, max_iter, tol
         )
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
@@ -245,7 +245,10 @@ def _pagerank_static(kg: SparkKG) -> tuple:
         .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
-    kg._pagerank_static = (links_w, nodes, id_map, n, loop_p)
+    # whether the graph has dangling nodes at all is static — it decides
+    # the shape of the per-round dangling-mass branch (see _pagerank_loop)
+    n_dangling = n - links_w.select("src").distinct().count()
+    kg._pagerank_static = (links_w, nodes, id_map, n, n_dangling, loop_p)
     return kg._pagerank_static
 
 
@@ -254,6 +257,7 @@ def _pagerank_loop(
     id_map: DataFrame,
     nodes: DataFrame,
     n: int,
+    n_dangling: int,
     alpha: float,
     max_iter: int,
     tol: float,
@@ -300,31 +304,42 @@ def _pagerank_loop(
             )
         )
         contrib = agg.where(F.col("dst").isNotNull()).select("dst", "in_sum")
-        dangling = agg.agg(
-            F.coalesce(F.sum("_dmp"), F.lit(0.0)).alias("_dm")
+        joined = nodes.hint("merge").join(
+            contrib.withColumnRenamed("dst", "id"), "id", "left"
         )
+        if n_dangling > 0:
+            # the dangling mass is the null-dst group's sum — extracted
+            # via a 1-row GLOBAL agg, deliberately: the global agg
+            # collapses the branch's size estimate to one row, keeping
+            # the per-round plan stats LINEAR. A plain filter here
+            # passes the child estimate through, the round's join then
+            # SQUARES it, and by round ~25 the optimizer is multiplying
+            # million-bit BigIntegers (the session.hard_local_checkpoint
+            # wedge — reproduced and thread-dumped on this exact shape).
+            # The 1-row scalar crosses in as a replicated nested-loop
+            # (cartesian), NOT a broadcast: a BroadcastExchange would
+            # run one driver-synchronized job per round (measured
+            # ~0.25 s × rounds), while the replicate form keeps every
+            # round inside the one lazy job.
+            dangling = agg.agg(
+                F.coalesce(F.sum("_dmp"), F.lit(0.0)).alias("_dm")
+            )
+            joined = joined.crossJoin(dangling.hint("shuffle_replicate_nl"))
+            rank_col = F.lit(base) + F.lit(alpha) * (
+                F.coalesce(F.col("in_sum"), F.lit(0.0))
+                + F.col("_dm") / F.lit(float(n))
+            )
+        else:
+            # no dangling nodes: _dm is identically 0.0 and x + 0.0
+            # is bit-identical to x for the non-negative sums here,
+            # so the cross join disappears entirely
+            rank_col = F.lit(base) + F.lit(alpha) * F.coalesce(
+                F.col("in_sum"), F.lit(0.0)
+            )
         # localCheckpoint truncates lineage each iteration — without it
         # the logical plan doubles per loop and the driver OOMs ~50 iters in
-        # the 1-row dangling scalar crosses in as a replicated
-        # nested-loop (cartesian with a single-partition side), NOT a
-        # broadcast: a BroadcastExchange would run one driver-
-        # synchronized job per round (measured ~0.25 s × rounds), while
-        # the replicate form keeps every round inside the one lazy job
         new_ranks = (
-            nodes.hint("merge")
-            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(dangling.hint("shuffle_replicate_nl"))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(alpha)
-                    * (
-                        F.coalesce(F.col("in_sum"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+            joined.select("id", rank_col.alias("rank"))
             # lazy checkpoints truncate the LOGICAL plan only; the RDD
             # lineage keeps chaining until something materializes, and
             # task serialization recurses over that graph — unbounded
