@@ -283,6 +283,33 @@ def _pagerank_loop(
     # keeps the eager checkpoint (the collect materializes it).
     eager = tol > 0
     stale: list[DataFrame] = []  # lazy mode: checkpoints awaiting release
+    # unresolved Column expressions bind by name at analysis, so every
+    # per-round expression is built ONCE here and reused — each F.col/
+    # F.lit/operator is a py4j round-trip, and the loop otherwise pays
+    # ~30 of them per round (profiled: ~6.9k gateway calls per call)
+    in_sum_expr = F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum")
+    dmp_expr = F.sum(
+        F.when(F.col("dst").isNull(), F.col("rank"))
+    ).alias("_dmp")
+    dst_notnull = F.col("dst").isNotNull()
+    dm_expr = F.coalesce(F.sum("_dmp"), F.lit(0.0)).alias("_dm")
+    if n_dangling > 0:
+        rank_expr = (
+            F.lit(base)
+            + F.lit(alpha)
+            * (
+                F.coalesce(F.col("in_sum"), F.lit(0.0))
+                + F.col("_dm") / F.lit(float(n))
+            )
+        ).alias("rank")
+    else:
+        # no dangling nodes: _dm is identically 0.0 and x + 0.0 is
+        # bit-identical to x for the non-negative sums here, so the
+        # whole dangling branch (and its cross join) disappears
+        rank_expr = (
+            F.lit(base)
+            + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+        ).alias("rank")
     for it in range(max_iter):
         # ONE pass computes both per-round aggregates: ranks LEFT JOIN
         # the weighted link table — a rank row with no out-links is
@@ -296,14 +323,9 @@ def _pagerank_loop(
             .hint("merge")
             .join(links_w, "src", "left")
             .groupBy("dst")
-            .agg(
-                F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"),
-                F.sum(
-                    F.when(F.col("dst").isNull(), F.col("rank"))
-                ).alias("_dmp"),
-            )
+            .agg(in_sum_expr, dmp_expr)
         )
-        contrib = agg.where(F.col("dst").isNotNull()).select("dst", "in_sum")
+        contrib = agg.where(dst_notnull).select("dst", "in_sum")
         joined = nodes.hint("merge").join(
             contrib.withColumnRenamed("dst", "id"), "id", "left"
         )
@@ -321,25 +343,12 @@ def _pagerank_loop(
             # run one driver-synchronized job per round (measured
             # ~0.25 s × rounds), while the replicate form keeps every
             # round inside the one lazy job.
-            dangling = agg.agg(
-                F.coalesce(F.sum("_dmp"), F.lit(0.0)).alias("_dm")
-            )
+            dangling = agg.agg(dm_expr)
             joined = joined.crossJoin(dangling.hint("shuffle_replicate_nl"))
-            rank_col = F.lit(base) + F.lit(alpha) * (
-                F.coalesce(F.col("in_sum"), F.lit(0.0))
-                + F.col("_dm") / F.lit(float(n))
-            )
-        else:
-            # no dangling nodes: _dm is identically 0.0 and x + 0.0
-            # is bit-identical to x for the non-negative sums here,
-            # so the cross join disappears entirely
-            rank_col = F.lit(base) + F.lit(alpha) * F.coalesce(
-                F.col("in_sum"), F.lit(0.0)
-            )
         # localCheckpoint truncates lineage each iteration — without it
         # the logical plan doubles per loop and the driver OOMs ~50 iters in
         new_ranks = (
-            joined.select("id", rank_col.alias("rank"))
+            joined.select("id", rank_expr)
             # lazy checkpoints truncate the LOGICAL plan only; the RDD
             # lineage keeps chaining until something materializes, and
             # task serialization recurses over that graph — unbounded
