@@ -181,3 +181,19 @@ class TestPageRank:
         w = wmap(edge_weights(kg_loop, "pagerank"))
         assert len(w) == 4
         assert all(0 < v < 1 for v in w.values())
+
+
+class TestPagerankStaticCache:
+    def test_static_tables_cached_and_reused(self, kg_loop):
+        # the loop-invariant tables build once per KG; repeat pagerank
+        # calls (and the pagerank sampler) reuse the cached tuple
+        from pyrdf2vec_spark.samplers import pagerank, _pagerank_static
+
+        n1 = pagerank(kg_loop, max_iter=3, tol=0.0).count()
+        st = getattr(kg_loop, "_pagerank_static", None)
+        assert st is not None
+        n2 = pagerank(kg_loop, max_iter=3, tol=0.0).count()
+        assert n2 == n1
+        assert kg_loop._pagerank_static is st  # same tuple, no rebuild
+        links_w, nodes, id_map, n, n_dangling, loop_p = st
+        assert n == n1 and loop_p >= 1 and n_dangling >= 0

@@ -1068,3 +1068,60 @@ class TestEdgeSideFailureSurfaces:
 
         with pytest.raises(RuntimeError, match="edge table dropped"):
             _edge_side(_BrokenKG(), kg_loop.edges)
+
+
+class TestWalkerCacheLifecycle:
+    def test_norm_edge_table_cached_per_config(self, kg_loop, roots):
+        # the weighted edge table must be built once per (sampler,
+        # direction, ...) config and REUSED — the r6 verdict's
+        # dead-persist fix: the persisted table stays live in the
+        # per-KG cache instead of being unpersisted before the
+        # caller's first action
+        from pyrdf2vec_spark.walks import sampled_walks, _kg_walk_cache
+
+        a = sampled_walks(kg_loop, roots, 2, 2, sampler="objfreq", seed=3)
+        n1 = a.count()
+        cache = _kg_walk_cache(kg_loop)
+        keys = [k for k in cache if k[0] == "edges_norm"]
+        assert len(keys) == 1
+        entry = cache[keys[0]]
+        assert entry.storageLevel.useMemory  # still persisted (live)
+        b = sampled_walks(kg_loop, roots, 2, 2, sampler="objfreq", seed=3)
+        assert b.count() == n1
+        assert cache[keys[0]] is entry  # same cached table, no rebuild
+
+    def test_community_partition_cached(self, kg_loop, roots):
+        from pyrdf2vec_spark.walks import (
+            community_sampled_walks,
+            _kg_walk_cache,
+        )
+
+        community_sampled_walks(kg_loop, roots, 2, 2, seed=4).count()
+        cache = _kg_walk_cache(kg_loop)
+        keys = [k for k in cache if k[0] == "community"]
+        assert len(keys) == 1
+        entry = cache[keys[0]]
+        community_sampled_walks(kg_loop, roots, 2, 2, seed=5).count()
+        assert cache[keys[0]] is entry
+
+    def test_tokenized_overlay_one_live_slot(self, kg_loop, roots, spark):
+        # dfs_canonical_walks keys its tokenized edge table by a
+        # seed-set fingerprint; a different seed set evicts the
+        # previous overlay (at most ONE live per config)
+        from pyrdf2vec_spark.walks import (
+            dfs_canonical_walks,
+            _kg_walk_cache,
+        )
+
+        r1 = roots
+        r2 = roots.limit(1)
+        dfs_canonical_walks(kg_loop, r1, 2, 2, seed=6).count()
+        cache = _kg_walk_cache(kg_loop)
+        keys = [k for k in cache if k[0] == "edges_norm_tok"]
+        assert len(keys) == 1
+        first = cache[keys[0]]
+        dfs_canonical_walks(kg_loop, r1, 2, 2, seed=7).count()
+        assert cache[keys[0]] is first  # same seeds → reuse
+        dfs_canonical_walks(kg_loop, r2, 2, 2, seed=8).count()
+        assert cache[keys[0]] is not first  # new seeds → evicted
+        assert len([k for k in cache if k[0] == "edges_norm_tok"]) == 1
