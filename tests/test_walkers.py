@@ -1082,13 +1082,15 @@ class TestWalkerCacheLifecycle:
         a = sampled_walks(kg_loop, roots, 2, 2, sampler="objfreq", seed=3)
         n1 = a.count()
         cache = _kg_walk_cache(kg_loop)
-        keys = [k for k in cache if k[0] == "edges_norm"]
-        assert len(keys) == 1
-        entry = cache[keys[0]]
+        # assert on THIS config's key (kg_loop is a shared fixture, so
+        # other tests may have populated other configs)
+        key = ("edges_norm", "objfreq", False, False, 0.85, "src")
+        entry = cache.get(key)
+        assert entry is not None
         assert entry.storageLevel.useMemory  # still persisted (live)
         b = sampled_walks(kg_loop, roots, 2, 2, sampler="objfreq", seed=3)
         assert b.count() == n1
-        assert cache[keys[0]] is entry  # same cached table, no rebuild
+        assert cache[key] is entry  # same cached table, no rebuild
 
     def test_community_partition_cached(self, kg_loop, roots):
         from pyrdf2vec_spark.walks import (
@@ -1098,11 +1100,11 @@ class TestWalkerCacheLifecycle:
 
         community_sampled_walks(kg_loop, roots, 2, 2, seed=4).count()
         cache = _kg_walk_cache(kg_loop)
-        keys = [k for k in cache if k[0] == "community"]
-        assert len(keys) == 1
-        entry = cache[keys[0]]
+        key = ("community", "lpa", 5)
+        entry = cache.get(key)
+        assert entry is not None
         community_sampled_walks(kg_loop, roots, 2, 2, seed=5).count()
-        assert cache[keys[0]] is entry
+        assert cache[key] is entry
 
     def test_tokenized_overlay_one_live_slot(self, kg_loop, roots, spark):
         # dfs_canonical_walks keys its tokenized edge table by a
@@ -1117,11 +1119,13 @@ class TestWalkerCacheLifecycle:
         r2 = roots.limit(1)
         dfs_canonical_walks(kg_loop, r1, 2, 2, seed=6).count()
         cache = _kg_walk_cache(kg_loop)
-        keys = [k for k in cache if k[0] == "edges_norm_tok"]
-        assert len(keys) == 1
-        first = cache[keys[0]]
+        # the overlay slot for THIS config (kg_loop is shared, other
+        # tests may hold overlays for other sampler configs)
+        key = ("edges_norm_tok", "uniform", False, False, 0.85, "src")
+        first = cache.get(key)
+        assert first is not None
         dfs_canonical_walks(kg_loop, r1, 2, 2, seed=7).count()
-        assert cache[keys[0]] is first  # same seeds → reuse
+        assert cache[key] is first  # same seeds → reuse
         dfs_canonical_walks(kg_loop, r2, 2, 2, seed=8).count()
-        assert cache[keys[0]] is not first  # new seeds → evicted
-        assert len([k for k in cache if k[0] == "edges_norm_tok"]) == 1
+        second = cache.get(key)
+        assert second is not None and second is not first  # evicted
