@@ -31,10 +31,11 @@ SAMPLERS = (
 
 # pagerank lazy mode: materialize (eager localCheckpoint) every k-th
 # round so the RDD lineage depth stays bounded (see the loop comment).
-# 12 measured ~0.5 s better than 8 at 20 iterations (one fewer
-# mid-chain sync) while keeping ~4x margin below the ~50-round depth
-# where task serialization overflowed the stack.
-LINEAGE_EVERY = 12
+# 8 vs 12 measured NEUTRAL across two interleaved A/Bs (first read
+# −0.5 s for 12, the rerun +0.5 s — noise), so the value with the
+# larger stack-depth margin below the ~50-round serialization
+# overflow stays.
+LINEAGE_EVERY = 8
 
 
 def edge_weights(kg: SparkKG, sampler: str = "uniform", alpha: float = 0.85) -> DataFrame:
